@@ -1,0 +1,181 @@
+"""Streaming demodulation pipeline: IQ bytes in -> accepted Mode-S frames out.
+
+Host side owns only block bookkeeping (the 326-sample carried overlap, the
+scan-global index, EOF padding); all per-sample compute runs on device via
+ops.convert + ops.demod.  Block layout matches the reference scan cadence
+(sdr_ifile.c:169-260) so frames diff bit-for-bit:
+
+  buffer  = [326 overlap][block_samples new]
+  scan    = offsets 0..valid_len-1   (valid_len < block_samples at EOF)
+  ts      = scan_global_index * 5 + 768 + try_phase   (12 MHz clock)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .constants import (
+    BLOCK_SAMPLES,
+    PREAMBLE_THRESHOLD_DEFAULT,
+    TRAILING_SAMPLES,
+)
+from .decode.score import RawFrame, Scorer, finalize_block
+from .ops import convert as convert_ops
+from .ops import demod as demod_ops
+
+_BYTES_PER_SAMPLE = {"uc8": 2, "sc16": 4, "sc16q11": 4}
+
+
+def _to_mag(raw: np.ndarray, fmt: str) -> jax.Array:
+    if fmt == "uc8":
+        return convert_ops.mag_uc8(jnp.asarray(raw))
+    iq16 = raw.view("<i2")
+    if fmt == "sc16":
+        return convert_ops.mag_sc16(jnp.asarray(iq16))
+    return convert_ops.mag_sc16q11(jnp.asarray(iq16))
+
+
+class Demodulator:
+    """Stateful streaming demodulator for one receiver channel."""
+
+    def __init__(
+        self,
+        fmt: str = "uc8",
+        block_samples: int = BLOCK_SAMPLES,
+        k: int = 2048,
+        threshold: int = PREAMBLE_THRESHOLD_DEFAULT,
+        nfix: int = 1,
+        fix_df: bool = True,
+        carry_skip: bool = False,
+    ):
+        self.fmt = fmt
+        self.block_samples = block_samples
+        self.k = k
+        self.threshold = threshold
+        self.carry_skip = carry_skip
+        self.scorer = Scorer(nfix=nfix, fix_df=fix_df)
+        self.overlap = np.zeros(TRAILING_SAMPLES, dtype=np.uint16)
+        self.scan_global = 0
+        self._skip = 0
+        self._pending = b""
+        self.mean_level = 0.0
+        self.mean_power = 0.0
+
+    @property
+    def stats(self):
+        return self.scorer.stats
+
+    # ------------------------------------------------------------------
+
+    def feed(self, raw: bytes) -> list[RawFrame]:
+        """Feed raw IQ bytes; returns frames completed by full blocks."""
+        bps = _BYTES_PER_SAMPLE[self.fmt]
+        data = self._pending + raw
+        block_bytes = self.block_samples * bps
+        frames: list[RawFrame] = []
+        off = 0
+        while len(data) - off >= block_bytes:
+            chunk = np.frombuffer(data, dtype=np.uint8, count=block_bytes, offset=off)
+            frames.extend(self._process_block(chunk, self.block_samples))
+            off += block_bytes
+        self._pending = data[off:]
+        return frames
+
+    def flush(self) -> list[RawFrame]:
+        """Process the final partial block (EOF)."""
+        bps = _BYTES_PER_SAMPLE[self.fmt]
+        n = len(self._pending) // bps
+        if n == 0:
+            self._pending = b""
+            return []
+        chunk = np.zeros(self.block_samples * bps, dtype=np.uint8)
+        chunk[: n * bps] = np.frombuffer(self._pending, dtype=np.uint8, count=n * bps)
+        self._pending = b""
+        return self._process_block(chunk, n)
+
+    # ------------------------------------------------------------------
+
+    def _process_block(self, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
+        mag = _to_mag(raw_bytes, self.fmt)
+        level, power = convert_ops.block_stats(mag[:valid_len] if valid_len < self.block_samples else mag)
+        buf = jnp.concatenate([jnp.asarray(self.overlap), mag])
+        return self._demod_buf(buf, valid_len, (level, power))
+
+    def process_mag(self, mag: np.ndarray) -> list[RawFrame]:
+        """Feed a pre-converted magnitude block (must be block_samples long)."""
+        assert len(mag) == self.block_samples
+        buf = jnp.concatenate([jnp.asarray(self.overlap), jnp.asarray(mag, dtype=jnp.uint16)])
+        return self._demod_buf(buf, self.block_samples, None)
+
+    def _demod_buf(self, buf: jax.Array, valid_len: int, stats_pair) -> list[RawFrame]:
+        k = self.k
+        while True:
+            cand = demod_ops.demod_block(
+                buf, jnp.int32(self.threshold), k=k, scan_len=self.block_samples
+            )
+            n = int(cand.n_cand)
+            if n <= k:
+                break
+            # candidate overflow: escalate capacity (recompile is cached per k)
+            while k < n:
+                k *= 2
+            self.k = k
+        # device->host of the compacted candidate set only
+        offsets = np.asarray(cand.offsets)
+        mask_valid = offsets < valid_len
+        host = {
+            "offsets": np.where(mask_valid, offsets, self.block_samples),
+            "n_cand": int(cand.n_cand),
+            "corr_fired": np.asarray(cand.corr_fired),
+            "msg": np.asarray(cand.msg),
+            "syn112": np.asarray(cand.syn112),
+            "syn56": np.asarray(cand.syn56),
+            "sigsum_long": np.asarray(cand.sigsum_long),
+            "sigsum_short": np.asarray(cand.sigsum_short),
+        }
+        if stats_pair is not None:
+            self.mean_level = float(stats_pair[0])
+            self.mean_power = float(stats_pair[1])
+
+        frames, leftover = finalize_block(
+            self.scorer,
+            host["offsets"],
+            host["n_cand"],
+            host["corr_fired"],
+            host["msg"],
+            host["syn112"],
+            host["syn56"],
+            host["sigsum_long"],
+            host["sigsum_short"],
+            scan_len=self.block_samples,
+            block_scan_start=self.scan_global,
+            carry_skip=self._skip,
+        )
+        self._skip = leftover if self.carry_skip else 0
+
+        # advance stream state
+        full = np.asarray(buf[-TRAILING_SAMPLES:])
+        self.overlap = full
+        self.scan_global += valid_len
+
+        # ICAO filter generation aging on the synthetic clock
+        now_ms = self.scan_global * 5 // 12000
+        self.scorer.icao.expire(now_ms)
+        return frames
+
+
+def demodulate_file(path: str, fmt: str = "uc8", **kw) -> tuple[list[RawFrame], Demodulator]:
+    """Demodulate a whole IQ capture file (the reference's --ifile mode)."""
+    demod = Demodulator(fmt=fmt, **kw)
+    frames: list[RawFrame] = []
+    chunk_bytes = demod.block_samples * _BYTES_PER_SAMPLE[fmt] * 8
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk_bytes)
+            if not raw:
+                break
+            frames.extend(demod.feed(raw))
+    frames.extend(demod.flush())
+    return frames, demod
