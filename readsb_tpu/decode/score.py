@@ -241,13 +241,19 @@ def finalize_block(
     scan_len: int,
     block_scan_start: int = 0,
     carry_skip: int = 0,
+    reset_every: int | None = None,
 ) -> tuple[list[RawFrame], int]:
-    """Serial scoring + NMS over one block's compacted candidates.
+    """Serial scoring + NMS over one (super)block's compacted candidates.
 
     Returns (accepted frames, skip carried past the end of this block).
     block_scan_start: global scan index of this block's offset 0 (used for
     timestamps: ts = (global_index * 5) + 768 + phase, matching the
     reference's block bookkeeping).
+    reset_every: emulate the reference's per-SDR-buffer scan restart — an
+    accepted message's skip never crosses a reset_every boundary
+    (demodulate2400 restarts its pointer each mag_buf).  None disables
+    (slightly better than the reference: no duplicate accepts at block
+    seams when carry_skip is used).
     """
     st = scorer.stats
     if n_cand > len(offsets):
@@ -329,5 +335,8 @@ def finalize_block(
             )
         )
         skip_until = o + msgbits * 2 + 1
+        if reset_every is not None:
+            # reference semantics: the skip dies at the next buffer boundary
+            skip_until = min(skip_until, (o // reset_every + 1) * reset_every)
 
     return frames, max(0, skip_until - scan_len)

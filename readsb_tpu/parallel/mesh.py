@@ -1,0 +1,123 @@
+"""Multi-chip sharding of the demod pipeline.
+
+The sample stream is embarrassingly parallel given a 326-sample halo
+(SURVEY §2.5): a Mode-S frame spans <= 288 samples, so time-blocks are
+independent once each shard receives the previous shard's tail.  This is
+the overlap-save pattern — the same ring communication as ring attention,
+but with a constant 326-sample payload, done with `lax.ppermute` over the
+`time` mesh axis.  Virtual receiver channels form a second, fully
+independent `chan` axis.
+
+Layout:
+  mesh axes ("chan", "time")
+  stream: (C, T) magnitudes, sharded P("chan", "time")
+  each shard scans its local T/t samples; left halo arrives by ppermute
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import TRAILING_SAMPLES
+from ..ops import demod as demod_ops
+
+
+class ShardedCandidates(NamedTuple):
+    """Per-shard candidate tensors; global scan offset = local + shard base."""
+
+    offsets: jax.Array  # int32[C, S, K] global scan offsets
+    n_cand: jax.Array  # int32[C, S]
+    corr_fired: jax.Array  # bool[C, S, K, 3]
+    msg: jax.Array  # uint8[C, S, K, 5, 14]
+    syn112: jax.Array  # int32[C, S, K, 5]
+    syn56: jax.Array  # int32[C, S, K, 5]
+    sigsum_long: jax.Array  # float32[C, S, K]
+    sigsum_short: jax.Array  # float32[C, S, K]
+
+
+def make_mesh(n_chan: int, n_time: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_chan * n_time, (devices.size, n_chan, n_time)
+    grid = devices[: n_chan * n_time].reshape(n_chan, n_time)
+    return Mesh(grid, axis_names=("chan", "time"))
+
+
+def build_sharded_demod(mesh: Mesh, *, k_per_shard: int = 256, threshold: int = 58):
+    """Returns a jitted fn: (C, T) uint16 magnitudes -> ShardedCandidates.
+
+    T must divide evenly by the `time` axis size; each local shard of
+    length Tl scans offsets [0, Tl) of its padded buffer, with the halo
+    (previous shard's last TRAILING_SAMPLES magnitudes) exchanged over ICI
+    by ppermute.  The very first shard sees zeros, matching the stream
+    start semantics of the block pipeline.
+    """
+    n_time = mesh.shape["time"]
+
+    def local_demod(stream_local: jax.Array) -> ShardedCandidates:
+        # stream_local: (C_local, 1, T_local) — one (chan, time) shard
+        c_l, s_l, t_l = stream_local.shape
+        x = stream_local.reshape(c_l, t_l)
+
+        # halo: my last TRAILING samples -> right neighbor's front padding
+        tail = x[:, -TRAILING_SAMPLES:]
+        perm = [(i, i + 1) for i in range(n_time - 1)]
+        halo = jax.lax.ppermute(tail, "time", perm)  # shard 0 receives zeros
+
+        buf = jnp.concatenate([halo, x], axis=1)  # (C_local, T_local + 326)
+
+        cand = jax.vmap(
+            lambda b: demod_ops.demod_block(b, threshold, k=k_per_shard, scan_len=t_l)
+        )(buf)
+
+        t_idx = jax.lax.axis_index("time").astype(jnp.int32)
+        base = t_idx * t_l
+        offsets = jnp.where(cand.offsets < t_l, cand.offsets + base, jnp.int32(-1))
+
+        def ex(a):  # add the time-shard axis back for out_specs
+            return a[:, None]
+
+        return ShardedCandidates(
+            offsets=ex(offsets),
+            n_cand=ex(cand.n_cand.reshape(c_l)) if cand.n_cand.ndim else ex(jnp.broadcast_to(cand.n_cand, (c_l,))),
+            corr_fired=ex(cand.corr_fired),
+            msg=ex(cand.msg),
+            syn112=ex(cand.syn112),
+            syn56=ex(cand.syn56),
+            sigsum_long=ex(cand.sigsum_long),
+            sigsum_short=ex(cand.sigsum_short),
+        )
+
+    shard_fn = jax.shard_map(
+        local_demod,
+        mesh=mesh,
+        in_specs=P("chan", None, "time"),
+        out_specs=ShardedCandidates(
+            offsets=P("chan", "time"),
+            n_cand=P("chan", "time"),
+            corr_fired=P("chan", "time"),
+            msg=P("chan", "time"),
+            syn112=P("chan", "time"),
+            syn56=P("chan", "time"),
+            sigsum_long=P("chan", "time"),
+            sigsum_short=P("chan", "time"),
+        ),
+    )
+
+    @jax.jit
+    def sharded_demod(stream: jax.Array) -> ShardedCandidates:
+        # stream: (C, T) -> add a singleton axis so time sharding has a dim
+        return shard_fn(stream[:, None, :])
+
+    return sharded_demod
+
+
+def shard_stream(stream: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a (C, T) magnitude array with the (chan, time) sharding."""
+    sharding = NamedSharding(mesh, P("chan", "time"))
+    return jax.device_put(stream, sharding)

@@ -2,11 +2,16 @@
 
 Host side owns only block bookkeeping (the 326-sample carried overlap, the
 scan-global index, EOF padding); all per-sample compute runs on device via
-ops.convert + ops.demod.  Block layout matches the reference scan cadence
-(sdr_ifile.c:169-260) so frames diff bit-for-bit:
+ops.convert + ops.demod.  The device processes *superblocks* of
+`blocks_per_batch` x 131072 samples in one flat call (no per-block device
+structure — the reference's per-SDR-buffer scan restart is reproduced by
+the host finalizer's `reset_every`), which keeps XLA compile time constant
+and the chip busy.
 
-  buffer  = [326 overlap][block_samples new]
-  scan    = offsets 0..valid_len-1   (valid_len < block_samples at EOF)
+Frame-level parity with the reference (sdr_ifile.c:169-260 block cadence):
+
+  stream  = [326 zeros][samples...]
+  scan    = offsets 0..valid_len-1 within each superblock
   ts      = scan_global_index * 5 + 768 + try_phase   (12 MHz clock)
 """
 
@@ -44,7 +49,8 @@ class Demodulator:
         self,
         fmt: str = "uc8",
         block_samples: int = BLOCK_SAMPLES,
-        k: int = 2048,
+        blocks_per_batch: int = 4,
+        k_per_block: int = 2048,
         threshold: int = PREAMBLE_THRESHOLD_DEFAULT,
         nfix: int = 1,
         fix_df: bool = True,
@@ -52,7 +58,9 @@ class Demodulator:
     ):
         self.fmt = fmt
         self.block_samples = block_samples
-        self.k = k
+        self.blocks_per_batch = blocks_per_batch
+        self.super_samples = block_samples * blocks_per_batch
+        self.k = k_per_block * blocks_per_batch
         self.threshold = threshold
         self.carry_skip = carry_skip
         self.scorer = Scorer(nfix=nfix, fix_df=fix_df)
@@ -70,50 +78,56 @@ class Demodulator:
     # ------------------------------------------------------------------
 
     def feed(self, raw: bytes) -> list[RawFrame]:
-        """Feed raw IQ bytes; returns frames completed by full blocks."""
+        """Feed raw IQ bytes; returns frames completed by full superblocks."""
         bps = _BYTES_PER_SAMPLE[self.fmt]
         data = self._pending + raw
-        block_bytes = self.block_samples * bps
+        super_bytes = self.super_samples * bps
         frames: list[RawFrame] = []
         off = 0
-        while len(data) - off >= block_bytes:
-            chunk = np.frombuffer(data, dtype=np.uint8, count=block_bytes, offset=off)
-            frames.extend(self._process_block(chunk, self.block_samples))
-            off += block_bytes
+        while len(data) - off >= super_bytes:
+            chunk = np.frombuffer(data, dtype=np.uint8, count=super_bytes, offset=off)
+            frames.extend(self._process(chunk, self.super_samples))
+            off += super_bytes
         self._pending = data[off:]
         return frames
 
     def flush(self) -> list[RawFrame]:
-        """Process the final partial block (EOF)."""
+        """Process the final partial superblock (EOF)."""
         bps = _BYTES_PER_SAMPLE[self.fmt]
         n = len(self._pending) // bps
         if n == 0:
             self._pending = b""
             return []
-        chunk = np.zeros(self.block_samples * bps, dtype=np.uint8)
+        chunk = np.zeros(self.super_samples * bps, dtype=np.uint8)
         chunk[: n * bps] = np.frombuffer(self._pending, dtype=np.uint8, count=n * bps)
         self._pending = b""
-        return self._process_block(chunk, n)
+        return self._process(chunk, n)
 
     # ------------------------------------------------------------------
 
-    def _process_block(self, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
+    def _process(self, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
         mag = _to_mag(raw_bytes, self.fmt)
-        level, power = convert_ops.block_stats(mag[:valid_len] if valid_len < self.block_samples else mag)
+        level, power = convert_ops.block_stats(
+            mag[:valid_len] if valid_len < self.super_samples else mag
+        )
+        self.mean_level = float(level)
+        self.mean_power = float(power)
         buf = jnp.concatenate([jnp.asarray(self.overlap), mag])
-        return self._demod_buf(buf, valid_len, (level, power))
+        return self._demod_buf(buf, valid_len)
 
     def process_mag(self, mag: np.ndarray) -> list[RawFrame]:
-        """Feed a pre-converted magnitude block (must be block_samples long)."""
-        assert len(mag) == self.block_samples
-        buf = jnp.concatenate([jnp.asarray(self.overlap), jnp.asarray(mag, dtype=jnp.uint16)])
-        return self._demod_buf(buf, self.block_samples, None)
+        """Feed a pre-converted magnitude superblock (super_samples long)."""
+        assert len(mag) == self.super_samples
+        buf = jnp.concatenate(
+            [jnp.asarray(self.overlap), jnp.asarray(mag, dtype=jnp.uint16)]
+        )
+        return self._demod_buf(buf, self.super_samples)
 
-    def _demod_buf(self, buf: jax.Array, valid_len: int, stats_pair) -> list[RawFrame]:
+    def _demod_buf(self, buf: jax.Array, valid_len: int) -> list[RawFrame]:
         k = self.k
         while True:
             cand = demod_ops.demod_block(
-                buf, jnp.int32(self.threshold), k=k, scan_len=self.block_samples
+                buf, jnp.int32(self.threshold), k=k, scan_len=self.super_samples
             )
             n = int(cand.n_cand)
             if n <= k:
@@ -122,42 +136,29 @@ class Demodulator:
             while k < n:
                 k *= 2
             self.k = k
-        # device->host of the compacted candidate set only
+
         offsets = np.asarray(cand.offsets)
-        mask_valid = offsets < valid_len
-        host = {
-            "offsets": np.where(mask_valid, offsets, self.block_samples),
-            "n_cand": int(cand.n_cand),
-            "corr_fired": np.asarray(cand.corr_fired),
-            "msg": np.asarray(cand.msg),
-            "syn112": np.asarray(cand.syn112),
-            "syn56": np.asarray(cand.syn56),
-            "sigsum_long": np.asarray(cand.sigsum_long),
-            "sigsum_short": np.asarray(cand.sigsum_short),
-        }
-        if stats_pair is not None:
-            self.mean_level = float(stats_pair[0])
-            self.mean_power = float(stats_pair[1])
+        offsets = np.where(offsets < valid_len, offsets, self.super_samples)
 
         frames, leftover = finalize_block(
             self.scorer,
-            host["offsets"],
-            host["n_cand"],
-            host["corr_fired"],
-            host["msg"],
-            host["syn112"],
-            host["syn56"],
-            host["sigsum_long"],
-            host["sigsum_short"],
-            scan_len=self.block_samples,
+            offsets,
+            n,
+            np.asarray(cand.corr_fired),
+            np.asarray(cand.msg),
+            np.asarray(cand.syn112),
+            np.asarray(cand.syn56),
+            np.asarray(cand.sigsum_long),
+            np.asarray(cand.sigsum_short),
+            scan_len=self.super_samples,
             block_scan_start=self.scan_global,
             carry_skip=self._skip,
+            reset_every=self.block_samples,
         )
         self._skip = leftover if self.carry_skip else 0
 
         # advance stream state
-        full = np.asarray(buf[-TRAILING_SAMPLES:])
-        self.overlap = full
+        self.overlap = np.asarray(buf[-TRAILING_SAMPLES:])
         self.scan_global += valid_len
 
         # ICAO filter generation aging on the synthetic clock
@@ -170,7 +171,7 @@ def demodulate_file(path: str, fmt: str = "uc8", **kw) -> tuple[list[RawFrame], 
     """Demodulate a whole IQ capture file (the reference's --ifile mode)."""
     demod = Demodulator(fmt=fmt, **kw)
     frames: list[RawFrame] = []
-    chunk_bytes = demod.block_samples * _BYTES_PER_SAMPLE[fmt] * 8
+    chunk_bytes = demod.super_samples * _BYTES_PER_SAMPLE[fmt]
     with open(path, "rb") as f:
         while True:
             raw = f.read(chunk_bytes)

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize may import jax at interpreter startup
+# (before this file runs), baking in a TPU platform choice; the config
+# update below overrides it regardless.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import subprocess
 import sys
