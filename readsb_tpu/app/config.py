@@ -1,0 +1,82 @@
+"""CLI / configuration (analog of readsb's argp table, help.h).
+
+Option names mirror the reference so a readsb user can switch with the
+same flags (configSetDefaults readsb.c:109-245, parse readsb.c:1440-2126).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="readsb-tpu",
+        description="TPU-native Mode-S/ADS-B receiver, decoder, aggregator and server",
+    )
+    # --- source
+    p.add_argument("--device-type", choices=["ifile", "none"], default="none",
+                   help="sample source (ifile = IQ capture replay)")
+    p.add_argument("--ifile", default=None, help="IQ capture path ('-' for stdin)")
+    p.add_argument("--iformat", default="uc8", choices=["uc8", "UC8", "sc16", "SC16", "sc16q11", "SC16Q11"])
+    p.add_argument("--throttle", action="store_true", help="replay at capture realtime")
+    p.add_argument("--preamble-threshold", type=int, default=58)
+    p.add_argument("--fix", dest="nfix_crc", action="store_const", const=1, default=1)
+    p.add_argument("--no-fix", dest="nfix_crc", action="store_const", const=0)
+    p.add_argument("--no-fix-df", dest="fix_df", action="store_false", default=True)
+    p.add_argument("--aggressive", dest="nfix_crc", action="store_const", const=2)
+
+    # --- position
+    p.add_argument("--lat", type=float, default=None)
+    p.add_argument("--lon", type=float, default=None)
+    p.add_argument("--max-range", type=float, default=300.0, help="max range in nmi")
+    p.add_argument("--json-reliable", type=int, default=None)
+
+    # --- net
+    p.add_argument("--net", action="store_true", help="enable networking")
+    p.add_argument("--net-only", action="store_true", help="no SDR, network input only")
+    p.add_argument("--net-ri-port", type=int, default=0, help="raw input listen port")
+    p.add_argument("--net-ro-port", type=int, default=0, help="raw output listen port")
+    p.add_argument("--net-bi-port", type=int, default=0, help="beast input listen port")
+    p.add_argument("--net-bo-port", type=int, default=0, help="beast output listen port")
+    p.add_argument("--net-sbs-port", type=int, default=0, help="SBS output listen port")
+    p.add_argument("--net-sbs-in-port", type=int, default=0, help="SBS input listen port")
+    p.add_argument("--net-json-port", type=int, default=0, help="per-position json output port")
+    p.add_argument("--net-api-port", type=int, default=0, help="/re-api query port")
+    p.add_argument("--net-connector", action="append", default=[],
+                   help="host,port,protocol outbound connection")
+    p.add_argument("--net-heartbeat", type=float, default=60.0)
+    p.add_argument("--net-ro-interval", type=float, default=0.05)
+    p.add_argument("--net-ro-size", type=int, default=1200)
+
+    # --- output
+    p.add_argument("--write-json", default=None, metavar="DIR")
+    p.add_argument("--write-json-every", type=float, default=1.0)
+    p.add_argument("--json-location-accuracy", type=int, default=1)
+    p.add_argument("--write-prom", default=None, metavar="PATH")
+    p.add_argument("--write-state", default=None, metavar="DIR",
+                   help="checkpoint directory (state save/load)")
+    p.add_argument("--write-state-every", type=float, default=60.0)
+    p.add_argument("--quiet", action="store_true", default=True)
+    p.add_argument("--raw", dest="show_raw", action="store_true",
+                   help="print frame hex to stdout")
+    p.add_argument("--stats", action="store_true", help="print stats at exit")
+    p.add_argument("--stats-every", type=float, default=0)
+    p.add_argument("--interactive", action="store_true")
+
+    # --- tpu/pipeline tuning
+    p.add_argument("--blocks-per-batch", type=int, default=4,
+                   help="demod superblock size in 131072-sample blocks")
+    p.add_argument("--candidates-per-block", type=int, default=2048)
+    p.add_argument("--devel", action="append", default=[])
+    return p
+
+
+def parse_args(argv=None):
+    args = build_parser().parse_args(argv)
+    args.iformat = args.iformat.lower()
+    if args.json_reliable is None:
+        args.json_reliable = 1
+    if args.device_type == "ifile" and not args.ifile:
+        build_parser().error("--device-type ifile requires --ifile")
+    return args

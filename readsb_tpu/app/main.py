@@ -1,0 +1,330 @@
+"""Application entry point: wires source -> demod -> decode -> track -> serve.
+
+The analog of readsb.c main(): but instead of 8 pthreads and a lock-the-world
+barrier, the runtime is a single asyncio loop on the host driving the
+batched device pipeline, with periodic tasks (json writer, stale sweep,
+stats) as coroutines (SURVEY §2.5: the reference's thread structure maps
+to host coroutines + device batching).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import sys
+import time
+
+from .. import constants
+from ..decode.fields import ModesMessage, Source, decode_frame
+from ..io import beast as beast_io
+from ..io import json_out
+from ..io import raw as raw_io
+from ..io import sbs as sbs_io
+from ..io.net import Connector, InputConnection, InputService, NetEngine
+from ..track.tracker import Tracker
+from .config import parse_args
+
+log = logging.getLogger("readsb_tpu")
+
+
+class App:
+    def __init__(self, args):
+        self.args = args
+        self.tracker = Tracker(
+            json_reliable=args.json_reliable,
+            receiver_lat=args.lat,
+            receiver_lon=args.lon,
+            max_range_km=args.max_range * 1.852,
+        )
+        self.net = NetEngine()
+        self.epoch_ms = int(time.time() * 1000)
+        self.messages = 0
+        self.start_time = time.time()
+        self._demod = None
+        self.out_raw = self.net.add_output("raw_out")
+        self.out_beast = self.net.add_output("beast_out")
+        self.out_sbs = self.net.add_output("sbs_out")
+        self.out_json = self.net.add_output("json_out")
+
+    # ------------------------------------------------------------------
+
+    def handle_frame(self, frame) -> None:
+        """One accepted demodulated frame -> decode, track, fan out."""
+        mm = decode_frame(frame, epoch_ms=self.epoch_ms)
+        self.handle_message(mm, raw_ts=frame.timestamp, signal=frame.signal_power)
+
+    def handle_message(self, mm: ModesMessage, raw_ts: int = 0, signal: float = 0.0) -> None:
+        self.messages += 1
+        a = self.tracker.update(mm)
+        if self.args.show_raw:
+            print("*%s;" % mm.msg.hex(), flush=False)
+        if self.out_raw.clients:
+            self.out_raw.send(raw_io.encode_line(mm.msg, raw_ts or None))
+        if self.out_beast.clients and len(mm.msg) in (7, 14):
+            self.out_beast.send(beast_io.encode_frame(mm.msg, raw_ts, signal))
+        if self.out_sbs.clients:
+            line = sbs_io.encode_line(mm, now_ms=mm.sys_timestamp_ms)
+            if line:
+                self.out_sbs.send(line)
+        if self.out_json.clients and mm.cpr_decoded:
+            import json as _json
+
+            self.out_json.send(
+                (_json.dumps(json_out.aircraft_dict(self.tracker, a, mm.sys_timestamp_ms)) + "\n").encode()
+            )
+
+    def now_ms(self) -> int:
+        return int(time.time() * 1000)
+
+    # ------------------------------------------------------------------
+
+    async def run_ifile(self) -> None:
+        from ..pipeline import Demodulator
+
+        args = self.args
+        demod = Demodulator(
+            fmt=args.iformat,
+            blocks_per_batch=args.blocks_per_batch,
+            k_per_block=args.candidates_per_block,
+            threshold=args.preamble_threshold,
+            nfix=args.nfix_crc,
+            fix_df=args.fix_df,
+        )
+        self._demod = demod
+        f = sys.stdin.buffer if args.ifile == "-" else open(args.ifile, "rb")
+        bps = 2 if args.iformat == "uc8" else 4
+        chunk = demod.super_samples * bps
+        loop = asyncio.get_event_loop()
+        try:
+            while True:
+                data = await loop.run_in_executor(None, f.read, chunk)
+                if not data:
+                    break
+                frames = await loop.run_in_executor(None, demod.feed, data)
+                for fr in frames:
+                    self.handle_frame(fr)
+                if args.throttle:
+                    await asyncio.sleep(len(data) / bps / constants.SAMPLE_RATE)
+                else:
+                    await asyncio.sleep(0)
+            for fr in demod.flush():
+                self.handle_frame(fr)
+        finally:
+            if f is not sys.stdin.buffer:
+                f.close()
+
+    # ------------------------------------------------------------------
+
+    def _beast_input_factory(self):
+        app = self
+
+        class BeastIn(InputConnection):
+            def __init__(self):
+                self.deframer = beast_io.BeastDeframer()
+                self.scorer = app._net_scorer()
+
+            async def feed(self, data: bytes) -> None:
+                for bf in self.deframer.feed(data):
+                    if len(bf.msg) not in (7, 14):
+                        continue
+                    app._handle_net_frame(self.scorer, bf)
+
+        return BeastIn
+
+    def _raw_input_factory(self):
+        app = self
+
+        class RawIn(InputConnection):
+            def __init__(self):
+                self.deframer = raw_io.RawDeframer()
+                self.scorer = app._net_scorer()
+
+            async def feed(self, data: bytes) -> None:
+                for rl in self.deframer.feed(data):
+                    if len(rl.msg) not in (7, 14):
+                        continue
+                    app._handle_net_frame(
+                        self.scorer,
+                        beast_io.BeastFrame(
+                            msg=rl.msg, timestamp=rl.timestamp,
+                            signal_byte=rl.signal_byte, msg_type=0,
+                        ),
+                    )
+
+        return RawIn
+
+    def _net_scorer(self):
+        from ..decode.score import Scorer
+
+        return Scorer(nfix=self.args.nfix_crc, fix_df=self.args.fix_df)
+
+    def _handle_net_frame(self, scorer, bf) -> None:
+        """Network-received frame: CRC-check/correct then track."""
+        import numpy as np
+
+        from ..ops import crc as crc_ops
+        from ..decode.score import RawFrame
+
+        msg = np.frombuffer(bf.msg, dtype=np.uint8)
+        msg14 = np.zeros(14, dtype=np.uint8)
+        msg14[: len(msg)] = msg
+        syn112 = int(crc_ops.checksum_batch(msg14[None, :], 112)[0])
+        syn56 = int(crc_ops.checksum_batch(msg14[None, :7].copy(), 56)[0]) if True else 0
+        result, info = scorer.decode_accept(msg14, syn112, syn56)
+        if result < 0:
+            return
+        frame = RawFrame(
+            msg=bytes(info["msg"]), msgbits=info["msgbits"],
+            timestamp=bf.timestamp, score=0, phase=0,
+            correctedbits=info["correctedbits"], addr=info["addr"],
+            signal_power=bf.signal_level, iid=info["iid"],
+        )
+        mm = decode_frame(frame, epoch_ms=0)
+        mm.sys_timestamp_ms = bf.synthetic_ms or self.now_ms()
+        mm.remote = True
+        mm.receiver_id = bf.receiver_id
+        self.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
+
+    # ------------------------------------------------------------------
+
+    async def run_periodic(self) -> None:
+        args = self.args
+        last_json = 0.0
+        last_state = time.time()
+        while True:
+            await asyncio.sleep(0.25)
+            now = self.now_ms()
+            self.tracker.remove_stale(now)
+            if args.write_json and time.time() - last_json >= args.write_json_every:
+                last_json = time.time()
+                os.makedirs(args.write_json, exist_ok=True)
+                doc = json_out.generate_aircraft_json(self.tracker, now, self.messages)
+                json_out.write_json_atomic(doc, os.path.join(args.write_json, "aircraft.json"))
+                rj = json_out.generate_receiver_json(
+                    int(args.write_json_every * 1000), args.lat, args.lon
+                )
+                json_out.write_json_atomic(rj, os.path.join(args.write_json, "receiver.json"))
+            if args.write_prom:
+                from ..io import stats as stats_io
+
+                stats_io.write_prom(self, args.write_prom, now)
+            if args.write_state and time.time() - last_state >= args.write_state_every:
+                last_state = time.time()
+                from ..io import state as state_io
+
+                state_io.save_state(self.tracker, args.write_state, now)
+
+    async def setup_net(self) -> None:
+        args = self.args
+        if not (args.net or args.net_only):
+            return
+        if args.net_ro_port:
+            await self.net.listen_output(self.out_raw, args.net_ro_port)
+        if args.net_bo_port:
+            await self.net.listen_output(self.out_beast, args.net_bo_port)
+        if args.net_sbs_port:
+            await self.net.listen_output(self.out_sbs, args.net_sbs_port)
+        if args.net_json_port:
+            await self.net.listen_output(self.out_json, args.net_json_port)
+        if args.net_bi_port:
+            await self.net.listen_input(
+                InputService("beast_in", self._beast_input_factory()), args.net_bi_port
+            )
+        if args.net_ri_port:
+            await self.net.listen_input(
+                InputService("raw_in", self._raw_input_factory()), args.net_ri_port
+            )
+        if args.net_api_port:
+            from ..io.api import ApiServer
+
+            api = ApiServer(self)
+            await api.listen(args.net_api_port)
+        for spec in args.net_connector:
+            parts = spec.split(",")
+            host, port, proto = parts[0], int(parts[1]), parts[2]
+            if proto in ("beast_in",):
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._beast_input_factory())
+                )
+            elif proto in ("raw_in",):
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._raw_input_factory())
+                )
+            elif proto in ("beast_out", "beast_reduce_out", "beast_reduce_plus_out"):
+                self.net.add_connector(Connector(host, port, output=self.out_beast))
+            elif proto == "raw_out":
+                self.net.add_connector(Connector(host, port, output=self.out_raw))
+            elif proto == "sbs_out":
+                self.net.add_connector(Connector(host, port, output=self.out_sbs))
+            elif proto == "json_out":
+                self.net.add_connector(Connector(host, port, output=self.out_json))
+            else:
+                log.warning("unsupported connector protocol: %s", proto)
+
+    # ------------------------------------------------------------------
+
+    def print_stats(self) -> None:
+        t = self.tracker
+        elapsed = time.time() - self.start_time
+        print(f"readsb-tpu statistics ({elapsed:.1f}s):", file=sys.stderr)
+        if self._demod is not None:
+            st = self._demod.stats
+            samples = self._demod.scan_global
+            print(f"  {samples} samples processed", file=sys.stderr)
+            print(f"  {st.preambles} Mode-S message preambles received", file=sys.stderr)
+            print(f"    {st.rejected_bad} with bad message format or invalid CRC", file=sys.stderr)
+            print(f"    {st.rejected_unknown_icao} with unrecognized ICAO address", file=sys.stderr)
+            print(f"    {st.accepted[0]} accepted with correct CRC", file=sys.stderr)
+            print(f"    {st.accepted[1]} accepted with 1-bit error repaired", file=sys.stderr)
+        print(f"  {self.messages} messages total", file=sys.stderr)
+        print(f"  {len(t.aircraft)} aircraft tracked", file=sys.stderr)
+        print(
+            f"  CPR: {t.cpr_global_ok} global ok, {t.cpr_global_bad} global bad, "
+            f"{t.cpr_local_ok} local ok",
+            file=sys.stderr,
+        )
+
+    async def amain(self) -> int:
+        await self.setup_net()
+        periodic = asyncio.ensure_future(self.run_periodic())
+        try:
+            if self.args.device_type == "ifile":
+                await self.run_ifile()
+                if self.args.net or self.args.net_only:
+                    await asyncio.sleep(0.2)  # let outputs flush
+            elif self.args.net or self.args.net_only:
+                while True:
+                    await asyncio.sleep(3600)
+            else:
+                log.error("no source: use --device-type ifile or --net-only")
+                return 1
+        finally:
+            periodic.cancel()
+            for svc in self.net.outputs.values():
+                svc.flush()
+            await self.net.close()
+            if self.args.stats:
+                self.print_stats()
+        return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    args = parse_args(argv)
+    app = App(args)
+    try:
+        return asyncio.run(app.amain())
+    except KeyboardInterrupt:
+        return 0
+
+
+def viewadsb_main(argv=None) -> int:
+    """viewadsb equivalent: connect to a beast source and display aircraft."""
+    argv = list(argv if argv is not None else sys.argv[1:])
+    argv = ["--net-only", "--interactive", "--net-connector", "127.0.0.1,30005,beast_in"] + argv
+    return main(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

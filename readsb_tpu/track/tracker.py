@@ -1,0 +1,614 @@
+"""Aircraft tracking: decoded messages -> live aircraft state store.
+
+Host control-plane analog of the reference's track.c, re-designed rather
+than transcribed: a dict-backed store of per-aircraft records whose field
+updates follow the reference's acceptance rules:
+
+- 3-state data validity {fresh, stale, expired} with source priority:
+  updates from a lower-priority source are rejected while the field is
+  fresh (TRACK_STALE=15s), accepted when stale, fields expire at
+  TRACK_EXPIRE=60s (track.h:105-119, track.c:128-221)
+- squawk double-confirmation before accepting a changed squawk
+  (track.c:2071-2092)
+- CPR position pipeline: global odd/even pair decode when both halves are
+  <10s apart, else local/relative decode against the last position;
+  surface decode requires a reference position (track.c:1249-1385,746,843)
+- speed check: great-circle distance vs plausible speed * elapsed with
+  allowances per source (track.c:423-736, simplified: same bound family)
+- odd/even position reliability counters with configurable threshold
+  (track.c:3686-3758, track.h:636-658)
+- staleness sweep removing aircraft idle > 5 min (trackRemoveStale,
+  track.c:2948; the reference keeps them longer for globe history — that
+  retention lives in the trace/history layer here)
+
+The structure-of-arrays device arena for aggregator-scale bulk updates is
+in track/arena.py; this object store is the semantic reference and the
+low-rate path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from ..decode import cpr as cpr_mod
+from ..decode.fields import (
+    AddrType,
+    AirGround,
+    CprType,
+    HeadingType,
+    ModesMessage,
+    Source,
+)
+
+MS = 1
+SECONDS = 1000
+MINUTES = 60 * SECONDS
+
+TRACK_MODEAC_MIN_MESSAGES = 4
+TRACK_STALE = 15 * SECONDS
+TRACK_EXPIRE = 60 * SECONDS
+TRACK_EXPIRE_LONG = 180 * SECONDS
+TRACK_EXPIRE_JAERO = 33 * MINUTES
+POS_RELIABLE_TIMEOUT = 60 * MINUTES
+CPR_MAX_INTERVAL = 10 * SECONDS  # max odd/even gap for global decode (track.c:85)
+
+
+def greatcircle(lat0: float, lon0: float, lat1: float, lon1: float) -> float:
+    """Great-circle distance in meters (haversine; util.h:164)."""
+    lat0, lon0, lat1, lon1 = map(math.radians, (lat0, lon0, lat1, lon1))
+    dlat = lat1 - lat0
+    dlon = lon1 - lon0
+    a = math.sin(dlat / 2) ** 2 + math.cos(lat0) * math.cos(lat1) * math.sin(dlon / 2) ** 2
+    return 6371e3 * 2 * math.asin(min(1.0, math.sqrt(a)))
+
+
+def bearing(lat0, lon0, lat1, lon1) -> float:
+    lat0, lon0, lat1, lon1 = map(math.radians, (lat0, lon0, lat1, lon1))
+    y = math.sin(lon1 - lon0) * math.cos(lat1)
+    x = math.cos(lat0) * math.sin(lat1) - math.sin(lat0) * math.cos(lat1) * math.cos(lon1 - lon0)
+    return (math.degrees(math.atan2(y, x)) + 360.0) % 360.0
+
+
+@dataclasses.dataclass
+class Validity:
+    """Per-field update clock (track.h data_validity)."""
+
+    updated: int = -(1 << 60)
+    source: Source = Source.INVALID
+    last_source: Source = Source.INVALID
+
+    def age(self, now: int) -> int:
+        return max(0, now - self.updated)
+
+    def valid(self, now: int, expire: int = TRACK_EXPIRE) -> bool:
+        return self.source != Source.INVALID and now < self.updated + expire
+
+    def expire(self, now: int, expire: int = TRACK_EXPIRE) -> None:
+        if self.source != Source.INVALID and now >= self.updated + expire:
+            self.source = Source.INVALID
+
+
+@dataclasses.dataclass
+class CprPair:
+    lat: int = 0
+    lon: int = 0
+    nuc: int = 0
+    type: CprType = CprType.NONE
+    valid: Validity = dataclasses.field(default_factory=Validity)
+
+
+@dataclasses.dataclass
+class Aircraft:
+    addr: int
+    seen: int = 0  # ms of last message
+    seen_pos: int = 0
+    messages: int = 0
+    registration: str = ""
+    type_code: str = ""
+    db_flags: int = 0
+
+    # position state
+    lat: float = 0.0
+    lon: float = 0.0
+    pos_nic: int = 0
+    pos_rc: float = 0.0
+    pos_surface: bool = False
+    position_valid: Validity = dataclasses.field(default_factory=Validity)
+    pos_reliable_odd: float = 0.0
+    pos_reliable_even: float = 0.0
+    cpr_odd: CprPair = dataclasses.field(default_factory=CprPair)
+    cpr_even: CprPair = dataclasses.field(default_factory=CprPair)
+    gs_last_pos: float = 0.0
+
+    # core kinematics
+    baro_alt: Optional[int] = None
+    baro_alt_valid: Validity = dataclasses.field(default_factory=Validity)
+    geom_alt: Optional[int] = None
+    geom_alt_valid: Validity = dataclasses.field(default_factory=Validity)
+    geom_delta: Optional[int] = None
+    geom_delta_valid: Validity = dataclasses.field(default_factory=Validity)
+    baro_rate: Optional[int] = None
+    baro_rate_valid: Validity = dataclasses.field(default_factory=Validity)
+    geom_rate: Optional[int] = None
+    geom_rate_valid: Validity = dataclasses.field(default_factory=Validity)
+    gs: Optional[float] = None
+    gs_valid: Validity = dataclasses.field(default_factory=Validity)
+    ias: Optional[int] = None
+    ias_valid: Validity = dataclasses.field(default_factory=Validity)
+    tas: Optional[int] = None
+    tas_valid: Validity = dataclasses.field(default_factory=Validity)
+    mach: Optional[float] = None
+    mach_valid: Validity = dataclasses.field(default_factory=Validity)
+    track: Optional[float] = None
+    track_valid: Validity = dataclasses.field(default_factory=Validity)
+    track_rate: Optional[float] = None
+    track_rate_valid: Validity = dataclasses.field(default_factory=Validity)
+    roll: Optional[float] = None
+    roll_valid: Validity = dataclasses.field(default_factory=Validity)
+    mag_heading: Optional[float] = None
+    mag_heading_valid: Validity = dataclasses.field(default_factory=Validity)
+    true_heading: Optional[float] = None
+    true_heading_valid: Validity = dataclasses.field(default_factory=Validity)
+    airground: AirGround = AirGround.UNCERTAIN
+    airground_valid: Validity = dataclasses.field(default_factory=Validity)
+
+    # identity
+    callsign: str = ""
+    callsign_valid: Validity = dataclasses.field(default_factory=Validity)
+    squawk: Optional[int] = None  # hex-coded octal
+    squawk_valid: Validity = dataclasses.field(default_factory=Validity)
+    squawk_tentative: Optional[int] = None
+    emergency: Optional[int] = None
+    emergency_valid: Validity = dataclasses.field(default_factory=Validity)
+    category: Optional[int] = None
+    category_valid: Validity = dataclasses.field(default_factory=Validity)
+    alert: bool = False
+    alert_valid: Validity = dataclasses.field(default_factory=Validity)
+    spi: bool = False
+    spi_valid: Validity = dataclasses.field(default_factory=Validity)
+
+    # nav / intent
+    nav_qnh: Optional[float] = None
+    nav_qnh_valid: Validity = dataclasses.field(default_factory=Validity)
+    nav_altitude_mcp: Optional[int] = None
+    nav_altitude_mcp_valid: Validity = dataclasses.field(default_factory=Validity)
+    nav_altitude_fms: Optional[int] = None
+    nav_altitude_fms_valid: Validity = dataclasses.field(default_factory=Validity)
+    nav_heading: Optional[float] = None
+    nav_heading_valid: Validity = dataclasses.field(default_factory=Validity)
+    nav_modes: Optional[int] = None
+    nav_modes_valid: Validity = dataclasses.field(default_factory=Validity)
+    nav_altitude_src: int = 0
+
+    # accuracy / version
+    adsb_version: int = -1
+    adsb_hrd: HeadingType = HeadingType.MAGNETIC
+    adsb_tah: HeadingType = HeadingType.GROUND_TRACK
+    nic_a: int = 0
+    nic_b: int = 0
+    nic_c: int = 0
+    nic_baro: int = 0
+    nic_baro_valid: Validity = dataclasses.field(default_factory=Validity)
+    nac_p: int = 0
+    nac_p_valid: Validity = dataclasses.field(default_factory=Validity)
+    nac_v: int = 0
+    nac_v_valid: Validity = dataclasses.field(default_factory=Validity)
+    sil: int = 0
+    sil_type: int = 0
+    sil_valid: Validity = dataclasses.field(default_factory=Validity)
+    gva: int = 0
+    gva_valid: Validity = dataclasses.field(default_factory=Validity)
+    sda: int = 0
+    sda_valid: Validity = dataclasses.field(default_factory=Validity)
+
+    # meteo
+    wind_speed: Optional[float] = None
+    wind_dir: Optional[float] = None
+    wind_valid: Validity = dataclasses.field(default_factory=Validity)
+    wind_alt: Optional[int] = None
+    oat: Optional[float] = None
+    oat_valid: Validity = dataclasses.field(default_factory=Validity)
+
+    # signal bookkeeping
+    signal_ring: list = dataclasses.field(default_factory=list)  # last 8 power values
+    addrtype: AddrType = AddrType.UNKNOWN
+    last_message_crc_addr_ok: bool = True
+
+    def rssi(self) -> float:
+        """Mean of last-8 signal powers in dBFS (json_out convention)."""
+        ring = [s for s in self.signal_ring[-8:] if s > 0]
+        if not ring:
+            return -49.5
+        avg = sum(ring) / len(ring)
+        return 10 * math.log10(avg) if avg > 0 else -49.5
+
+
+class Tracker:
+    """The aircraft state store (analog of Modes.aircraft + track.c)."""
+
+    def __init__(
+        self,
+        json_reliable: int = 1,
+        receiver_lat: Optional[float] = None,
+        receiver_lon: Optional[float] = None,
+        max_range_km: float = 450.0,
+    ):
+        self.aircraft: dict[int, Aircraft] = {}
+        self.json_reliable = json_reliable
+        self.receiver_lat = receiver_lat
+        self.receiver_lon = receiver_lon
+        self.max_range_m = max_range_km * 1000
+        # stats counters (mirrors the cpr_* stats block, stats.h)
+        self.cpr_global_ok = 0
+        self.cpr_global_bad = 0
+        self.cpr_global_skipped = 0
+        self.cpr_local_ok = 0
+        self.cpr_local_skipped = 0
+        self.cpr_surface = 0
+        self.cpr_airborne = 0
+        self.messages_total = 0
+
+    # ------------------------------------------------------------------
+
+    def get_or_create(self, addr: int, now: int) -> Aircraft:
+        a = self.aircraft.get(addr)
+        if a is None:
+            a = Aircraft(addr=addr)
+            self.aircraft[addr] = a
+        return a
+
+    def _accept(self, a: Aircraft, v: Validity, source: Source, now: int) -> bool:
+        """accept_data: source-priority + freshness gate (track.c:128-221)."""
+        if source == Source.INVALID:
+            return False
+        if now < v.updated:
+            return False
+        if source < v.source and now < v.updated + TRACK_STALE:
+            return False
+        v.source = Source.ADSB if source == Source.PRIO else source
+        v.last_source = v.source
+        v.updated = now
+        return True
+
+    # ------------------------------------------------------------------
+
+    def update(self, mm: ModesMessage) -> Aircraft:
+        """trackUpdateFromMessage (track.c:1858-2730), core field flow."""
+        now = mm.sys_timestamp_ms
+        addr = mm.addr & 0xFFFFFF
+        a = self.get_or_create(addr, now)
+        a.seen = now
+        a.messages += 1
+        self.messages_total += 1
+        if mm.signal_level > 0:
+            a.signal_ring.append(mm.signal_level)
+            if len(a.signal_ring) > 8:
+                a.signal_ring = a.signal_ring[-8:]
+        if mm.addrtype < a.addrtype or not a.messages:
+            a.addrtype = mm.addrtype
+        src = mm.source
+
+        # --- altitude ----------------------------------------------------
+        if mm.baro_alt is not None and self._accept(a, a.baro_alt_valid, src, now):
+            a.baro_alt = mm.baro_alt
+        if mm.geom_alt is not None and self._accept(a, a.geom_alt_valid, src, now):
+            a.geom_alt = mm.geom_alt
+        if mm.geom_delta is not None and self._accept(a, a.geom_delta_valid, src, now):
+            a.geom_delta = mm.geom_delta
+        if mm.baro_rate is not None and self._accept(a, a.baro_rate_valid, src, now):
+            a.baro_rate = mm.baro_rate
+        if mm.geom_rate is not None and self._accept(a, a.geom_rate_valid, src, now):
+            a.geom_rate = mm.geom_rate
+
+        # --- squawk double-confirmation (track.c:2071-2092) ---------------
+        if mm.squawk_hex is not None:
+            if a.squawk == mm.squawk_hex or a.squawk_tentative == mm.squawk_hex:
+                if self._accept(a, a.squawk_valid, src, now):
+                    a.squawk = mm.squawk_hex
+                    a.squawk_tentative = None
+            else:
+                a.squawk_tentative = mm.squawk_hex
+                if a.squawk is None and mm.msgtype in (5, 21):
+                    # direct identity replies seed immediately
+                    if self._accept(a, a.squawk_valid, src, now):
+                        a.squawk = mm.squawk_hex
+
+        # --- speeds / headings -------------------------------------------
+        if mm.gs_selected is not None and self._accept(a, a.gs_valid, src, now):
+            a.gs = mm.gs_selected
+        if mm.ias is not None and self._accept(a, a.ias_valid, src, now):
+            a.ias = mm.ias
+        if mm.tas is not None and self._accept(a, a.tas_valid, src, now):
+            a.tas = mm.tas
+        if mm.mach is not None and self._accept(a, a.mach_valid, src, now):
+            a.mach = mm.mach
+        if mm.roll is not None and self._accept(a, a.roll_valid, src, now):
+            a.roll = mm.roll
+        if mm.track_rate is not None and self._accept(a, a.track_rate_valid, src, now):
+            a.track_rate = mm.track_rate
+        if mm.heading is not None:
+            ht = mm.heading_type
+            # resolve MAGNETIC_OR_TRUE / TRACK_OR_HEADING via opstatus HRD/TAH
+            # (track.c heading handling)
+            if ht == HeadingType.MAGNETIC_OR_TRUE:
+                ht = self._hrd(a)
+            elif ht == HeadingType.TRACK_OR_HEADING:
+                ht = HeadingType.GROUND_TRACK if a.adsb_tah == HeadingType.GROUND_TRACK else self._hrd(a)
+            if ht == HeadingType.GROUND_TRACK:
+                if self._accept(a, a.track_valid, src, now):
+                    a.track = mm.heading
+            elif ht == HeadingType.MAGNETIC:
+                if self._accept(a, a.mag_heading_valid, src, now):
+                    a.mag_heading = mm.heading
+            elif ht == HeadingType.TRUE:
+                if self._accept(a, a.true_heading_valid, src, now):
+                    a.true_heading = mm.heading
+
+        # --- identity -----------------------------------------------------
+        if mm.callsign is not None and mm.callsign_valid and self._accept(a, a.callsign_valid, src, now):
+            a.callsign = mm.callsign
+        if mm.category is not None and self._accept(a, a.category_valid, src, now):
+            a.category = mm.category
+        if mm.emergency is not None and self._accept(a, a.emergency_valid, src, now):
+            a.emergency = mm.emergency
+        if mm.alert is not None and mm.alert_valid and self._accept(a, a.alert_valid, src, now):
+            a.alert = bool(mm.alert)
+        if mm.spi is not None and mm.spi_valid and self._accept(a, a.spi_valid, src, now):
+            a.spi = bool(mm.spi)
+        if mm.airground != AirGround.INVALID and mm.airground != AirGround.UNCERTAIN:
+            if self._accept(a, a.airground_valid, src, now):
+                a.airground = mm.airground
+        elif mm.airground == AirGround.UNCERTAIN and a.airground_valid.source == Source.INVALID:
+            a.airground = AirGround.UNCERTAIN
+
+        # --- nav / intent -------------------------------------------------
+        if mm.nav_qnh is not None and self._accept(a, a.nav_qnh_valid, src, now):
+            a.nav_qnh = mm.nav_qnh
+        if mm.nav_mcp_altitude is not None and self._accept(a, a.nav_altitude_mcp_valid, src, now):
+            a.nav_altitude_mcp = mm.nav_mcp_altitude
+        if mm.nav_fms_altitude is not None and self._accept(a, a.nav_altitude_fms_valid, src, now):
+            a.nav_altitude_fms = mm.nav_fms_altitude
+        if mm.nav_heading is not None and self._accept(a, a.nav_heading_valid, src, now):
+            a.nav_heading = mm.nav_heading
+        if mm.nav_modes is not None and self._accept(a, a.nav_modes_valid, src, now):
+            a.nav_modes = mm.nav_modes
+        if mm.nav_altitude_source:
+            a.nav_altitude_src = mm.nav_altitude_source
+
+        # --- accuracy / opstatus -----------------------------------------
+        if mm.opstatus_valid:
+            a.adsb_version = mm.adsb_version if mm.adsb_version is not None else a.adsb_version
+            a.adsb_hrd = mm.opstatus_hrd
+            a.adsb_tah = mm.opstatus_tah
+        if mm.nic_a is not None:
+            a.nic_a = mm.nic_a
+        if mm.nic_b is not None:
+            a.nic_b = mm.nic_b
+        if mm.nic_c is not None:
+            a.nic_c = mm.nic_c
+        if mm.nic_baro is not None and self._accept(a, a.nic_baro_valid, src, now):
+            a.nic_baro = mm.nic_baro
+        if mm.nac_p is not None and self._accept(a, a.nac_p_valid, src, now):
+            a.nac_p = mm.nac_p
+        if mm.nac_v is not None and self._accept(a, a.nac_v_valid, src, now):
+            a.nac_v = mm.nac_v
+        if mm.sil is not None and self._accept(a, a.sil_valid, src, now):
+            a.sil = mm.sil
+            a.sil_type = int(mm.sil_type)
+        if mm.gva is not None and self._accept(a, a.gva_valid, src, now):
+            a.gva = mm.gva
+        if mm.sda is not None and self._accept(a, a.sda_valid, src, now):
+            a.sda = mm.sda
+
+        # --- meteo --------------------------------------------------------
+        if mm.wind_speed is not None and self._accept(a, a.wind_valid, src, now):
+            a.wind_speed = mm.wind_speed
+            a.wind_dir = mm.wind_dir
+            a.wind_alt = a.baro_alt if a.baro_alt_valid.valid(now) else None
+        if mm.oat is not None and self._accept(a, a.oat_valid, src, now):
+            a.oat = mm.oat
+
+        # --- position -----------------------------------------------------
+        if mm.cpr_valid:
+            self._update_position(a, mm, now)
+
+        return a
+
+    def _hrd(self, a: Aircraft) -> HeadingType:
+        return a.adsb_hrd if a.adsb_hrd in (HeadingType.MAGNETIC, HeadingType.TRUE) else HeadingType.MAGNETIC
+
+    # -- CPR position pipeline (track.c:1249-1385, 746-967) ---------------
+
+    def _update_position(self, a: Aircraft, mm: ModesMessage, now: int) -> None:
+        pair = a.cpr_odd if mm.cpr_odd else a.cpr_even
+        pair.lat = mm.cpr_lat
+        pair.lon = mm.cpr_lon
+        pair.type = mm.cpr_type
+        self._accept(a, pair.valid, mm.source, now)
+
+        if mm.cpr_type == CprType.SURFACE:
+            self.cpr_surface += 1
+        else:
+            self.cpr_airborne += 1
+
+        other = a.cpr_even if mm.cpr_odd else a.cpr_odd
+        result = None
+        used_global = False
+        max_elapsed = CPR_MAX_INTERVAL
+        if (
+            other.valid.valid(now)
+            and abs(pair.valid.updated - other.valid.updated) <= max_elapsed
+            and other.type == mm.cpr_type
+        ):
+            result = self._do_global_cpr(a, mm)
+            used_global = result is not None
+            if result is None:
+                self.cpr_global_bad += 1
+        else:
+            self.cpr_global_skipped += 1
+
+        if result is None:
+            result = self._do_local_cpr(a, mm, now)
+            if result is not None:
+                self.cpr_local_ok += 1
+            else:
+                self.cpr_local_skipped += 1
+        elif used_global:
+            self.cpr_global_ok += 1
+
+        if result is None:
+            return
+        lat, lon = result
+
+        if not self._speed_check(a, mm.source, lat, lon, now):
+            # implausible: decrement reliability (track.c position_bad)
+            if mm.cpr_odd:
+                a.pos_reliable_odd = max(0.0, a.pos_reliable_odd - 1.0)
+            else:
+                a.pos_reliable_even = max(0.0, a.pos_reliable_even - 1.0)
+            return
+
+        self._set_position(a, mm, lat, lon, now, used_global)
+
+    def _do_global_cpr(self, a: Aircraft, mm: ModesMessage):
+        if mm.cpr_type == CprType.SURFACE:
+            reflat, reflon = self._surface_reference(a)
+            if reflat is None:
+                return None
+            return cpr_mod.decode_surface(
+                reflat, reflon,
+                a.cpr_even.lat, a.cpr_even.lon, a.cpr_odd.lat, a.cpr_odd.lon,
+                mm.cpr_odd,
+            )
+        return cpr_mod.decode_airborne(
+            a.cpr_even.lat, a.cpr_even.lon, a.cpr_odd.lat, a.cpr_odd.lon, mm.cpr_odd
+        )
+
+    def _do_local_cpr(self, a: Aircraft, mm: ModesMessage, now: int):
+        """Relative decode against our last position or the receiver
+        location (track.c:843-967)."""
+        surface = mm.cpr_type == CprType.SURFACE
+        if a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) and a.seen_pos:
+            # range limit: 50s at 600kt + jitter allowance
+            elapsed = now - a.seen_pos
+            range_limit = 1852 * (100 + 600.0 * elapsed / 1000 / 3600)
+            ref = (a.lat, a.lon)
+        elif self.receiver_lat is not None and not surface:
+            range_limit = self.max_range_m
+            ref = (self.receiver_lat, self.receiver_lon)
+        elif self.receiver_lat is not None and surface:
+            range_limit = 45 * 1852  # surface: must be near the receiver
+            ref = (self.receiver_lat, self.receiver_lon)
+        else:
+            return None
+        out = cpr_mod.decode_relative(ref[0], ref[1], mm.cpr_lat, mm.cpr_lon, mm.cpr_odd, surface)
+        if out is None:
+            return None
+        if greatcircle(ref[0], ref[1], out[0], out[1]) > range_limit:
+            return None
+        return out
+
+    def _surface_reference(self, a: Aircraft):
+        if a.position_valid.valid(a.seen, POS_RELIABLE_TIMEOUT) and a.seen_pos:
+            return a.lat, a.lon
+        if self.receiver_lat is not None:
+            return self.receiver_lat, self.receiver_lon
+        return None, None
+
+    def _speed_check(self, a: Aircraft, source: Source, lat: float, lon: float, now: int) -> bool:
+        """Plausibility of the new position vs the old one (track.c:423-736)."""
+        if self.json_reliable == -1 or source == Source.PRIO:
+            return True
+        if not (-90 <= lat <= 90) or not (-180 <= lon <= 180):
+            return False
+        if abs(lat) < 0.01 and abs(lon) < 0.01:
+            return False  # null island
+        if not a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) or not a.seen_pos:
+            return True
+        elapsed = max(0, now - a.seen_pos)
+        if elapsed > 45 * SECONDS and source <= Source.MLAT:
+            return True
+        # plausible speed budget in knots
+        if a.gs_valid.valid(now):
+            speed = max(a.gs or 0.0, a.gs_last_pos)
+            speed += 3 * a.gs_valid.age(now) / 1000.0 + 3 * a.position_valid.age(now) / 1000.0
+        elif a.tas_valid.valid(now):
+            speed = (a.tas or 0) * 4 / 3
+        elif a.ias_valid.valid(now):
+            speed = (a.ias or 0) * 2
+        else:
+            speed = a.airground == AirGround.GROUND and 100 or 700
+        speed = max(speed, 100)
+        # margin: 50% + fixed 500m (mirrors the reference's allowances)
+        max_dist = 1852.0 * speed / 3600.0 * (elapsed / 1000.0) * 1.5 + 500
+        dist = greatcircle(a.lat, a.lon, lat, lon)
+        return dist <= max_dist
+
+    def _set_position(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int, from_global: bool) -> None:
+        if not self._accept(a, a.position_valid, mm.source, now):
+            return
+        a.lat = lat
+        a.lon = lon
+        a.seen_pos = now
+        a.pos_surface = mm.cpr_type == CprType.SURFACE
+        a.gs_last_pos = a.gs or 0.0
+        a.pos_nic = mm.decoded_nic
+        a.pos_rc = mm.decoded_rc
+        mm.cpr_decoded = True
+        mm.decoded_lat = lat
+        mm.decoded_lon = lon
+        # reliability bump (incrementReliable, track.c:3686)
+        inc = 1.0
+        if mm.cpr_odd:
+            a.pos_reliable_odd = min(a.pos_reliable_odd + inc, 4.0)
+            if from_global:
+                a.pos_reliable_even = min(a.pos_reliable_even + 0.5, 4.0)
+        else:
+            a.pos_reliable_even = min(a.pos_reliable_even + inc, 4.0)
+            if from_global:
+                a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, 4.0)
+
+    # ------------------------------------------------------------------
+
+    def pos_reliable(self, a: Aircraft) -> bool:
+        """posReliable (track.h:636-658)."""
+        if self.json_reliable <= 0:
+            return a.position_valid.source != Source.INVALID
+        if a.position_valid.source in (Source.JAERO, Source.MLAT, Source.INDIRECT, Source.SBS):
+            return True
+        need = float(self.json_reliable)
+        return a.pos_reliable_odd >= need and a.pos_reliable_even >= need
+
+    def remove_stale(self, now: int) -> int:
+        """trackRemoveStale sweep (track.c:2948): expire fields, drop idle."""
+        dead = []
+        for addr, a in self.aircraft.items():
+            if now > a.seen + TRACK_EXPIRE_LONG + 2 * MINUTES:
+                dead.append(addr)
+                continue
+            for v in (
+                a.baro_alt_valid, a.geom_alt_valid, a.geom_delta_valid,
+                a.baro_rate_valid, a.geom_rate_valid, a.gs_valid, a.ias_valid,
+                a.tas_valid, a.mach_valid, a.track_valid, a.track_rate_valid,
+                a.roll_valid, a.mag_heading_valid, a.true_heading_valid,
+                a.airground_valid, a.callsign_valid, a.squawk_valid,
+                a.emergency_valid, a.category_valid, a.alert_valid, a.spi_valid,
+                a.nav_qnh_valid, a.nav_altitude_mcp_valid, a.nav_altitude_fms_valid,
+                a.nav_heading_valid, a.nav_modes_valid, a.nic_baro_valid,
+                a.nac_p_valid, a.nac_v_valid, a.sil_valid, a.gva_valid,
+                a.sda_valid, a.wind_valid, a.oat_valid,
+            ):
+                v.expire(now)
+            a.position_valid.expire(now, TRACK_EXPIRE_LONG)
+            a.cpr_odd.valid.expire(now)
+            a.cpr_even.valid.expire(now)
+        for addr in dead:
+            del self.aircraft[addr]
+        return len(dead)
+
+    # convenience --------------------------------------------------------
+
+    def active(self, now: int) -> list[Aircraft]:
+        return [a for a in self.aircraft.values() if now < a.seen + TRACK_EXPIRE]
