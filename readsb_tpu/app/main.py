@@ -309,9 +309,22 @@ class App:
         return 0
 
 
+def _ensure_jax_backend() -> None:
+    """Fall back to CPU if the configured accelerator backend is down."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        log.warning("accelerator backend unavailable; falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     args = parse_args(argv)
+    _ensure_jax_backend()
     app = App(args)
     try:
         return asyncio.run(app.amain())

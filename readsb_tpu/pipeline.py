@@ -55,6 +55,7 @@ class Demodulator:
         nfix: int = 1,
         fix_df: bool = True,
         carry_skip: bool = False,
+        use_native: bool | None = None,
     ):
         self.fmt = fmt
         self.block_samples = block_samples
@@ -64,6 +65,16 @@ class Demodulator:
         self.threshold = threshold
         self.carry_skip = carry_skip
         self.scorer = Scorer(nfix=nfix, fix_df=fix_df)
+        self.native = None
+        if use_native is not False:
+            try:
+                from . import native as native_mod
+
+                if native_mod.load() is not None:
+                    self.native = native_mod.NativeFinalizer(nfix=nfix, fix_df=fix_df)
+            except Exception:
+                if use_native:
+                    raise
         self.overlap = np.zeros(TRAILING_SAMPLES, dtype=np.uint16)
         self.scan_global = 0
         self._skip = 0
@@ -73,6 +84,16 @@ class Demodulator:
 
     @property
     def stats(self):
+        if self.native is not None:
+            from .decode.score import DemodStats
+
+            st = self.native.stats()
+            d = DemodStats()
+            d.preambles = st["preambles"]
+            d.rejected_bad = st["rejected_bad"]
+            d.rejected_unknown_icao = st["rejected_unknown_icao"]
+            d.accepted = st["accepted"]
+            return d
         return self.scorer.stats
 
     # ------------------------------------------------------------------
@@ -140,21 +161,37 @@ class Demodulator:
         offsets = np.asarray(cand.offsets)
         offsets = np.where(offsets < valid_len, offsets, self.super_samples)
 
-        frames, leftover = finalize_block(
-            self.scorer,
-            offsets,
-            n,
-            np.asarray(cand.corr_fired),
-            np.asarray(cand.msg),
-            np.asarray(cand.syn112),
-            np.asarray(cand.syn56),
-            np.asarray(cand.sigsum_long),
-            np.asarray(cand.sigsum_short),
-            scan_len=self.super_samples,
-            block_scan_start=self.scan_global,
-            carry_skip=self._skip,
-            reset_every=self.block_samples,
-        )
+        if self.native is not None:
+            frames, leftover = self.native.finalize_block(
+                offsets,
+                n,
+                np.asarray(cand.corr_fired),
+                np.asarray(cand.msg),
+                np.asarray(cand.syn112),
+                np.asarray(cand.syn56),
+                np.asarray(cand.sigsum_long),
+                np.asarray(cand.sigsum_short),
+                scan_len=self.super_samples,
+                block_scan_start=self.scan_global,
+                carry_skip=self._skip,
+                reset_every=self.block_samples,
+            )
+        else:
+            frames, leftover = finalize_block(
+                self.scorer,
+                offsets,
+                n,
+                np.asarray(cand.corr_fired),
+                np.asarray(cand.msg),
+                np.asarray(cand.syn112),
+                np.asarray(cand.syn56),
+                np.asarray(cand.sigsum_long),
+                np.asarray(cand.sigsum_short),
+                scan_len=self.super_samples,
+                block_scan_start=self.scan_global,
+                carry_skip=self._skip,
+                reset_every=self.block_samples,
+            )
         self._skip = leftover if self.carry_skip else 0
 
         # advance stream state
@@ -163,7 +200,10 @@ class Demodulator:
 
         # ICAO filter generation aging on the synthetic clock
         now_ms = self.scan_global * 5 // 12000
-        self.scorer.icao.expire(now_ms)
+        if self.native is not None:
+            self.native.icao_expire(now_ms)
+        else:
+            self.scorer.icao.expire(now_ms)
         return frames
 
 

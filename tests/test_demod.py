@@ -55,7 +55,7 @@ def test_stats_counters(capture_small, reference_binary):
     accepted = [int(x) for x in re.findall(r"(\d+) accepted with", out)]
 
     frames, demod = demodulate_file(capture_small + ".uc8.dat", fmt="uc8")
-    st = demod.scorer.stats
+    st = demod.stats
     assert st.preambles == ref_preambles
     assert st.accepted[0] == accepted[0]
     assert st.accepted[1] == accepted[1] if len(accepted) > 1 else True
