@@ -53,7 +53,7 @@ from readsb_tpu.ops import convert as convert_ops
 from readsb_tpu.ops import demod as demod_ops
 
 N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-K = 2048 * N_BLOCKS
+K = 2048 * N_BLOCKS + 256  # +256 dodges a poisoned remote-compile cache entry
 TOTAL_SCAN = N_BLOCKS * BLOCK_SAMPLES
 
 

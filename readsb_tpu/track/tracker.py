@@ -324,6 +324,7 @@ class Tracker:
             a.tas = mm.tas
         if mm.mach is not None and self._accept(a, a.mach_valid, src, now):
             a.mach = mm.mach
+            self._calc_temp(a, now)
         if mm.roll is not None and self._accept(a, a.roll_valid, src, now):
             a.roll = mm.roll
         if mm.track_rate is not None and self._accept(a, a.track_rate_valid, src, now):
@@ -331,7 +332,7 @@ class Tracker:
         if mm.heading is not None:
             ht = mm.heading_type
             # resolve MAGNETIC_OR_TRUE / TRACK_OR_HEADING via opstatus HRD/TAH
-            # (track.c heading handling)
+            # (track.c:2140-2168)
             if ht == HeadingType.MAGNETIC_OR_TRUE:
                 ht = self._hrd(a)
             elif ht == HeadingType.TRACK_OR_HEADING:
@@ -340,8 +341,19 @@ class Tracker:
                 if self._accept(a, a.track_valid, src, now):
                     a.track = mm.heading
             elif ht == HeadingType.MAGNETIC:
+                dec = self._declination(a, now)
                 if self._accept(a, a.mag_heading_valid, src, now):
                     a.mag_heading = mm.heading
+                    true_h = (mm.heading + (dec or 0.0)) % 360.0
+                    crab_ok = (
+                        not a.track_valid.valid(now)
+                        or abs((true_h - (a.track or 0) + 180) % 360 - 180) < 45
+                    )
+                    if dec is not None and crab_ok and self._accept(
+                        a, a.true_heading_valid, Source.INDIRECT, now
+                    ):
+                        a.true_heading = true_h
+                        self._calc_wind(a, now)
             elif ht == HeadingType.TRUE:
                 if self._accept(a, a.true_heading_valid, src, now):
                     a.true_heading = mm.heading
@@ -418,6 +430,76 @@ class Tracker:
 
     def _hrd(self, a: Aircraft) -> HeadingType:
         return a.adsb_hrd if a.adsb_hrd in (HeadingType.MAGNETIC, HeadingType.TRUE) else HeadingType.MAGNETIC
+
+    # -- wind / temperature derivation (track.c:3086-3164) -----------------
+
+    def _declination(self, a: Aircraft, now: int):
+        """Cached per-aircraft magnetic declination (track.c:3166-3217)."""
+        if not a.seen_pos or not a.position_valid.valid(now, POS_RELIABLE_TIMEOUT):
+            return None
+        cache = getattr(a, "_dec_cache", None)
+        if cache is not None and now < cache[0] + 5 * SECONDS:
+            return cache[1]
+        from . import geomag
+
+        year = 1970.0 + now / 1000.0 / (365.25 * 86400)
+        alt_km = (a.baro_alt or 0) * 0.0003048
+        try:
+            dec = geomag.declination(a.lat, a.lon, alt_km, year)
+        except (ValueError, ZeroDivisionError):
+            return None
+        a._dec_cache = (now, dec)
+        return dec
+
+    def _calc_wind(self, a: Aircraft, now: int) -> None:
+        """Wind vector from TAS/GS/heading triangle (track.c:3086-3146)."""
+        TRACK_WT_TIMEOUT = 2500
+        if not a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) or a.airground == AirGround.GROUND:
+            return
+        if (
+            a.tas_valid.age(now) > TRACK_WT_TIMEOUT
+            or a.gs_valid.age(now) > TRACK_WT_TIMEOUT
+            or a.track_valid.age(now) > TRACK_WT_TIMEOUT // 2
+            or a.true_heading_valid.age(now) > TRACK_WT_TIMEOUT // 2
+            or not all(
+                v.source != Source.INVALID
+                for v in (a.tas_valid, a.gs_valid, a.track_valid, a.true_heading_valid)
+            )
+        ):
+            return
+        trk = math.radians(a.track)
+        hdg = math.radians(a.true_heading)
+        tas = float(a.tas)
+        gs = float(a.gs)
+        crab = (hdg - trk + math.pi) % (2 * math.pi) - math.pi
+        hw = tas - math.cos(crab) * gs
+        cw = math.sin(crab) * gs
+        ws = math.sqrt(hw * hw + cw * cw)
+        wd = math.degrees((hdg + math.atan2(cw, hw)) % (2 * math.pi))
+        if ws > 250:
+            return
+        a.wind_speed = ws
+        a.wind_dir = wd
+        a.wind_alt = a.baro_alt
+        a.wind_valid.updated = now
+        a.wind_valid.source = Source.INDIRECT
+        a.wind_valid.last_source = Source.INDIRECT
+
+    def _calc_temp(self, a: Aircraft, now: int) -> None:
+        """OAT from TAS/Mach (track.c:3148-3164)."""
+        TRACK_WT_TIMEOUT = 2500
+        if a.airground == AirGround.GROUND:
+            return
+        if a.tas_valid.age(now) > TRACK_WT_TIMEOUT or a.mach_valid.age(now) > TRACK_WT_TIMEOUT:
+            return
+        if a.mach is None or a.tas is None or a.mach < 0.395:
+            return
+        fraction = a.tas / 661.47 / a.mach
+        oat = (fraction * fraction * 288.15) - 273.15
+        a.oat = oat
+        a.oat_valid.updated = now
+        a.oat_valid.source = Source.INDIRECT
+        a.oat_valid.last_source = Source.INDIRECT
 
     # -- CPR position pipeline (track.c:1249-1385, 746-967) ---------------
 
