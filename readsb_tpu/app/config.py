@@ -21,6 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iformat", default="uc8", choices=["uc8", "UC8", "sc16", "SC16", "sc16q11", "SC16Q11"])
     p.add_argument("--throttle", action="store_true", help="replay at capture realtime")
     p.add_argument("--preamble-threshold", type=int, default=58)
+    p.add_argument("--modeac", action="store_true",
+                   help="decode Mode A/C (SSR) replies as well")
     p.add_argument("--fix", dest="nfix_crc", action="store_const", const=1, default=1)
     p.add_argument("--no-fix", dest="nfix_crc", action="store_const", const=0)
     p.add_argument("--no-fix-df", dest="fix_df", action="store_false", default=True)

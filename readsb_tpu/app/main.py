@@ -61,8 +61,10 @@ class App:
             print("*%s;" % mm.msg.hex(), flush=False)
         if self.out_raw.clients:
             self.out_raw.send(raw_io.encode_line(mm.msg, raw_ts or None))
-        if self.out_beast.clients and len(mm.msg) in (7, 14):
-            self.out_beast.send(beast_io.encode_frame(mm.msg, raw_ts, signal))
+        if self.out_beast.clients and len(mm.msg) in (2, 7, 14):
+            self.out_beast.send(
+                beast_io.encode_frame(mm.msg, raw_ts, signal, modeac=len(mm.msg) == 2)
+            )
         if self.out_sbs.clients:
             line = sbs_io.encode_line(mm, now_ms=mm.sys_timestamp_ms)
             if line:
@@ -90,6 +92,7 @@ class App:
             threshold=args.preamble_threshold,
             nfix=args.nfix_crc,
             fix_df=args.fix_df,
+            modeac=args.modeac,
         )
         self._demod = demod
         f = sys.stdin.buffer if args.ifile == "-" else open(args.ifile, "rb")
@@ -104,15 +107,27 @@ class App:
                 frames = await loop.run_in_executor(None, demod.feed, data)
                 for fr in frames:
                     self.handle_frame(fr)
+                self._drain_modeac(demod)
                 if args.throttle:
                     await asyncio.sleep(len(data) / bps / constants.SAMPLE_RATE)
                 else:
                     await asyncio.sleep(0)
             for fr in demod.flush():
                 self.handle_frame(fr)
+            self._drain_modeac(demod)
         finally:
             if f is not sys.stdin.buffer:
                 f.close()
+
+    def _drain_modeac(self, demod) -> None:
+        """Forward Mode A/C pseudo-messages into the tracker/outputs."""
+        if not demod.modeac_msgs:
+            return
+        msgs, demod.modeac_msgs = demod.modeac_msgs, []
+        for mm in msgs:
+            if not mm.sys_timestamp_ms:
+                mm.sys_timestamp_ms = self.now_ms()
+            self.handle_message(mm, raw_ts=mm.timestamp)
 
     # ------------------------------------------------------------------
 
@@ -126,6 +141,16 @@ class App:
 
             async def feed(self, data: bytes) -> None:
                 for bf in self.deframer.feed(data):
+                    if len(bf.msg) == 2:  # Beast type '1': Mode A/C
+                        from ..decode.mode_ac import decode_modeac_message
+
+                        code = (bf.msg[0] << 8) | bf.msg[1]
+                        mm = decode_modeac_message(code, timestamp=bf.timestamp)
+                        mm.sys_timestamp_ms = bf.synthetic_ms or app.now_ms()
+                        mm.remote = True
+                        mm.receiver_id = bf.receiver_id
+                        app.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
+                        continue
                     if len(bf.msg) not in (7, 14):
                         continue
                     app._handle_net_frame(self.scorer, bf)
@@ -196,6 +221,8 @@ class App:
             await asyncio.sleep(0.25)
             now = self.now_ms()
             self.tracker.remove_stale(now)
+            if args.modeac:
+                self.tracker.match_ac(now)
             if args.write_json and time.time() - last_json >= args.write_json_every:
                 last_json = time.time()
                 os.makedirs(args.write_json, exist_ok=True)

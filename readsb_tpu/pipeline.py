@@ -56,6 +56,7 @@ class Demodulator:
         fix_df: bool = True,
         carry_skip: bool = False,
         use_native: bool | None = None,
+        modeac: bool = False,
     ):
         self.fmt = fmt
         self.block_samples = block_samples
@@ -81,6 +82,10 @@ class Demodulator:
         self._pending = b""
         self.mean_level = 0.0
         self.mean_power = 0.0
+        self.modeac = modeac
+        self.modeac_k = 512 * blocks_per_batch
+        self.modeac_msgs: list = []  # decoded ModesMessage, drained by caller
+        self.stats_modeac = 0
 
     @property
     def stats(self):
@@ -139,12 +144,49 @@ class Demodulator:
     def process_mag(self, mag: np.ndarray) -> list[RawFrame]:
         """Feed a pre-converted magnitude superblock (super_samples long)."""
         assert len(mag) == self.super_samples
-        buf = jnp.concatenate(
-            [jnp.asarray(self.overlap), jnp.asarray(mag, dtype=jnp.uint16)]
-        )
+        mag_j = jnp.asarray(mag, dtype=jnp.uint16)
+        if self.modeac:
+            level, power = convert_ops.block_stats(mag_j)
+            self.mean_level = float(level)
+            self.mean_power = float(power)
+        buf = jnp.concatenate([jnp.asarray(self.overlap), mag_j])
         return self._demod_buf(buf, self.super_samples)
 
+    def _demod_modeac(self, buf: jax.Array, valid_len: int) -> None:
+        """Mode A/C pass over the same magnitude buffer (--modeac)."""
+        from .decode import mode_ac as mode_ac_dec
+        from .ops import modeac as modeac_ops
+
+        stddev = np.sqrt(max(0.0, self.mean_power - self.mean_level**2))
+        noise_level = jnp.int32(int((self.mean_power + stddev) * 65535 + 0.5))
+        k = self.modeac_k
+        while True:
+            cand = modeac_ops.modeac_block(
+                buf, noise_level, k=k, scan_len=self.super_samples
+            )
+            n = int(cand.n_cand)
+            if n <= k:
+                break
+            while k < n:
+                k *= 2
+            self.modeac_k = k
+        offsets = np.asarray(cand.offsets)
+        offsets = np.where(offsets < valid_len, offsets, self.super_samples)
+        hits = mode_ac_dec.finalize_modeac(
+            offsets, np.asarray(cand.ok), np.asarray(cand.modeac),
+            np.asarray(cand.f2_clock), n,
+            scan_len=self.super_samples, block_scan_start=self.scan_global,
+        )
+        for code, ts, _off in hits:
+            mm = mode_ac_dec.decode_modeac_message(
+                code, timestamp=ts, sys_timestamp_ms=ts // 12000
+            )
+            self.modeac_msgs.append(mm)
+        self.stats_modeac += len(hits)
+
     def _demod_buf(self, buf: jax.Array, valid_len: int) -> list[RawFrame]:
+        if self.modeac:
+            self._demod_modeac(buf, valid_len)
         k = self.k
         while True:
             cand = demod_ops.demod_block(

@@ -216,6 +216,10 @@ class Aircraft:
     addrtype: AddrType = AddrType.UNKNOWN
     last_message_crc_addr_ok: bool = True
 
+    # Mode A/C correlation flags (track.c:2754,2766)
+    modea_hit: bool = False
+    modec_hit: bool = False
+
     def rssi(self) -> float:
         """Mean of last-8 signal powers in dBFS (json_out convention)."""
         ring = [s for s in self.signal_ring[-8:] if s > 0]
@@ -249,6 +253,13 @@ class Tracker:
         self.cpr_surface = 0
         self.cpr_airborne = 0
         self.messages_total = 0
+        # Mode A/C squawk-indexed count/match tables (track.c:56-59)
+        import numpy as _np
+
+        self.modeac_count = _np.zeros(4096, dtype=_np.uint32)
+        self.modeac_lastcount = _np.zeros(4096, dtype=_np.uint32)
+        self.modeac_match = _np.zeros(4096, dtype=_np.uint32)
+        self.modeac_age = _np.zeros(4096, dtype=_np.uint32)
 
     # ------------------------------------------------------------------
 
@@ -274,9 +285,16 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
-    def update(self, mm: ModesMessage) -> Aircraft:
+    def update(self, mm: ModesMessage) -> Optional[Aircraft]:
         """trackUpdateFromMessage (track.c:1858-2730), core field flow."""
         now = mm.sys_timestamp_ms
+        if mm.msgtype == 77:  # DFTYPE_MODEAC: just count it (track.c:1869-1874)
+            from ..decode.mode_ac import modea_to_index
+
+            self.messages_total += 1
+            if mm.squawk_hex is not None:
+                self.modeac_count[modea_to_index(mm.squawk_hex)] += 1
+            return None
         addr = mm.addr & 0xFFFFFF
         a = self.get_or_create(addr, now)
         a.seen = now
@@ -662,6 +680,53 @@ class Tracker:
             return True
         need = float(self.json_reliable)
         return a.pos_reliable_odd >= need and a.pos_reliable_even >= need
+
+    def match_ac(self, now: int) -> None:
+        """trackMatchAC (track.c:2731-2810): correlate Mode A/C reply
+        counts with tracked Mode-S aircraft by squawk and Mode-C altitude,
+        then age out idle codes."""
+        from ..decode.mode_ac import modea_to_index, modec_to_modea
+
+        count, last, match, age = (
+            self.modeac_count, self.modeac_lastcount, self.modeac_match, self.modeac_age,
+        )
+        match[:] = 0
+
+        def mark(i: int, addr: int) -> None:
+            match[i] = 0xFFFFFFFF if match[i] else addr
+
+        for a in self.aircraft.values():
+            if now - a.seen > 5000:
+                continue
+            if a.squawk is not None and a.squawk_valid.valid(now):
+                i = modea_to_index(a.squawk)
+                if count[i] - last[i] >= TRACK_MODEAC_MIN_MESSAGES:
+                    a.modea_hit = True
+                    mark(i, a.addr)
+            if a.baro_alt is not None and a.baro_alt_valid.valid(now):
+                modec = (a.baro_alt + 49) // 100
+                for mc in (modec, modec + 1, modec - 1):  # +/- 100 ft
+                    modea = modec_to_modea(mc)
+                    if not modea:
+                        continue
+                    i = modea_to_index(modea)
+                    if count[i] - last[i] >= TRACK_MODEAC_MIN_MESSAGES:
+                        a.modec_hit = True
+                        mark(i, a.addr)
+
+        active = count != 0
+        live = (count - last) >= TRACK_MODEAC_MIN_MESSAGES
+        # idle codes age out after 15 sweeps; matched codes start at age 10
+        import numpy as np
+
+        idle = active & ~live
+        age[idle] += 1
+        expired = idle & (age > 15)
+        count[expired] = 0
+        last[expired] = 0
+        age[expired] = 0
+        age[active & live] = np.where(match[active & live] != 0, 10, 0)
+        last[active & ~expired] = count[active & ~expired]
 
     def remove_stale(self, now: int) -> int:
         """trackRemoveStale sweep (track.c:2948): expire fields, drop idle."""

@@ -222,6 +222,42 @@ def frame_envelope(msg: bytes, nbits: int, fs: float = SAMPLE_RATE, phase: float
     return env[: n_out * oversample].reshape(n_out, oversample).mean(axis=1)
 
 
+MODEAC_BIT_US = 1.45
+
+# bit index -> modeA hex-code bit (demod_2400.c:585-606 framing layout)
+_MODEAC_BIT_SRC = {
+    1: 0x0010, 2: 0x1000, 3: 0x0020, 4: 0x2000, 5: 0x0040, 6: 0x4000,
+    8: 0x0100, 9: 0x0001, 10: 0x0200, 11: 0x0002, 12: 0x0400, 13: 0x0004,
+    17: 0x0080,
+}
+
+
+def modeac_envelope(modea: int, fs: float = SAMPLE_RATE, phase: float = 0.0,
+                    oversample: int = 10) -> np.ndarray:
+    """Amplitude envelope of a Mode A/C reply: F1/F2 framing pulses plus
+    the code pulses, 0.45us wide on a 1.45us bit grid."""
+    total_us = 20 * MODEAC_BIT_US + 2.0
+    fine_rate = fs * oversample
+    n_fine = int(total_us * 1e-6 * fine_rate) + oversample * 4
+    env = np.zeros(n_fine, dtype=np.float32)
+
+    def pulse(start_us: float, dur_us: float = 0.45):
+        a = int(round(start_us * 1e-6 * fine_rate))
+        b = int(round((start_us + dur_us) * 1e-6 * fine_rate))
+        env[a:b] = 1.0
+
+    for bit in range(20):
+        on = bit in (0, 14) or bool(modea & _MODEAC_BIT_SRC.get(bit, 0))
+        if on:
+            pulse(bit * MODEAC_BIT_US)
+
+    shift = int(round(phase * oversample))
+    if shift:
+        env = np.concatenate([np.zeros(shift, dtype=np.float32), env])[: len(env)]
+    n_out = len(env) // oversample
+    return env[: n_out * oversample].reshape(n_out, oversample).mean(axis=1)
+
+
 class CaptureBuilder:
     """Accumulates frames on a timeline, then renders IQ."""
 
@@ -246,6 +282,20 @@ class CaptureBuilder:
         self.env[start:end] = np.maximum(self.env[start:end], wave[: end - start])
         self.truth.append(
             {"t": t_s, "hex": msg.hex(), "bits": nbits, "amp": amplitude, "phase": phase}
+        )
+
+    def add_modeac(self, modea: int, t_s: float, amplitude: float = 0.4,
+                   phase: float | None = None) -> None:
+        if phase is None:
+            phase = self.rng.uniform(0, 1)
+        wave = modeac_envelope(modea, self.fs, phase) * amplitude
+        start = int(round(t_s * self.fs))
+        end = min(start + len(wave), self.n)
+        if start >= self.n:
+            return
+        self.env[start:end] = np.maximum(self.env[start:end], wave[: end - start])
+        self.truth.append(
+            {"t": t_s, "modeac": modea, "amp": amplitude, "phase": phase}
         )
 
     def render_iq(self) -> np.ndarray:
