@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--net-sbs-port", type=int, default=0, help="SBS output listen port")
     p.add_argument("--net-sbs-in-port", type=int, default=0, help="SBS input listen port")
     p.add_argument("--net-json-port", type=int, default=0, help="per-position json output port")
+    p.add_argument("--net-garbage", dest="net_garbage_port", type=int, default=0,
+                   help="beast output port for frames from quarantined feeders")
     p.add_argument("--net-api-port", type=int, default=0, help="/re-api query port")
     p.add_argument("--net-connector", action="append", default=[],
                    help="host,port,protocol outbound connection")

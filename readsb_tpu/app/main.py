@@ -46,6 +46,7 @@ class App:
         self.out_beast = self.net.add_output("beast_out")
         self.out_sbs = self.net.add_output("sbs_out")
         self.out_json = self.net.add_output("json_out")
+        self.out_garbage = self.net.add_output("garbage_out")
 
     # ------------------------------------------------------------------
 
@@ -209,6 +210,16 @@ class App:
         mm.sys_timestamp_ms = bf.synthetic_ms or self.now_ms()
         mm.remote = True
         mm.receiver_id = bf.receiver_id
+        # quarantined feeders: divert to the garbage output (net_io.c:3943-3961)
+        if bf.receiver_id and self.tracker.receivers.check_bad(
+            bf.receiver_id, mm.sys_timestamp_ms
+        ):
+            mm.garbage = True
+            if self.out_garbage.clients and len(mm.msg) in (7, 14):
+                self.out_garbage.send(
+                    beast_io.encode_frame(mm.msg, bf.timestamp, bf.signal_level)
+                )
+            return
         self.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
 
     # ------------------------------------------------------------------
@@ -232,6 +243,11 @@ class App:
                     int(args.write_json_every * 1000), args.lat, args.lon
                 )
                 json_out.write_json_atomic(rj, os.path.join(args.write_json, "receiver.json"))
+                json_out.write_json_atomic(
+                    self.tracker.receivers.receivers_json(now),
+                    os.path.join(args.write_json, "receivers.json"),
+                )
+            self.tracker.receivers.maintenance(now, interval_ms=250)
             if args.write_prom:
                 from ..io import stats as stats_io
 
@@ -254,6 +270,8 @@ class App:
             await self.net.listen_output(self.out_sbs, args.net_sbs_port)
         if args.net_json_port:
             await self.net.listen_output(self.out_json, args.net_json_port)
+        if args.net_garbage_port:
+            await self.net.listen_output(self.out_garbage, args.net_garbage_port)
         if args.net_bi_port:
             await self.net.listen_input(
                 InputService("beast_in", self._beast_input_factory()), args.net_bi_port

@@ -239,7 +239,10 @@ class Tracker:
         receiver_lon: Optional[float] = None,
         max_range_km: float = 450.0,
     ):
+        from .receiver import ReceiverStore
+
         self.aircraft: dict[int, Aircraft] = {}
+        self.receivers = ReceiverStore()
         self.json_reliable = json_reliable
         self.receiver_lat = receiver_lat
         self.receiver_lon = receiver_lon
@@ -562,7 +565,7 @@ class Tracker:
             return
         lat, lon = result
 
-        if not self._speed_check(a, mm.source, lat, lon, now):
+        if not self._speed_check(a, mm, lat, lon, now):
             # implausible: decrement reliability (track.c position_bad)
             if mm.cpr_odd:
                 a.pos_reliable_odd = max(0.0, a.pos_reliable_odd - 1.0)
@@ -574,14 +577,19 @@ class Tracker:
 
     def _do_global_cpr(self, a: Aircraft, mm: ModesMessage):
         if mm.cpr_type == CprType.SURFACE:
-            reflat, reflon = self._surface_reference(a)
+            reflat, reflon = self._surface_reference(a, mm)
             if reflat is None:
                 return None
-            return cpr_mod.decode_surface(
+            out = cpr_mod.decode_surface(
                 reflat, reflon,
                 a.cpr_even.lat, a.cpr_even.lon, a.cpr_odd.lat, a.cpr_odd.lon,
                 mm.cpr_odd,
             )
+            # surface decodes far from the reference are suspect
+            # (track.c:784-792, 450 km gate)
+            if out is not None and greatcircle(reflat, reflon, out[0], out[1]) > 450e3:
+                return None
+            return out
         return cpr_mod.decode_airborne(
             a.cpr_even.lat, a.cpr_even.lon, a.cpr_odd.lat, a.cpr_odd.lon, mm.cpr_odd
         )
@@ -610,21 +618,40 @@ class Tracker:
             return None
         return out
 
-    def _surface_reference(self, a: Aircraft):
-        if a.position_valid.valid(a.seen, POS_RELIABLE_TIMEOUT) and a.seen_pos:
-            return a.lat, a.lon
+    def _surface_reference(self, a: Aircraft, mm: ModesMessage):
+        """Surface global CPR reference chain (track.c:759-777):
+        user location, then the feeder's extent-box center, then the
+        aircraft's own reliable position."""
         if self.receiver_lat is not None:
             return self.receiver_lat, self.receiver_lon
+        if mm.receiver_id:
+            ref = self.receivers.get_reference(mm.receiver_id)
+            if ref is not None:
+                return ref
+        if a.position_valid.valid(a.seen, POS_RELIABLE_TIMEOUT) and a.seen_pos:
+            return a.lat, a.lon
         return None, None
 
-    def _speed_check(self, a: Aircraft, source: Source, lat: float, lon: float, now: int) -> bool:
-        """Plausibility of the new position vs the old one (track.c:423-736)."""
+    def _speed_check(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int) -> bool:
+        """Plausibility of the new position vs the old one (track.c:423-736),
+        including the per-feeder extent bookkeeping (track.c:628-656)."""
+        source = mm.source
         if self.json_reliable == -1 or source == Source.PRIO:
             return True
         if not (-90 <= lat <= 90) or not (-180 <= lon <= 180):
             return False
         if abs(lat) < 0.01 and abs(lon) < 0.01:
             return False  # null island
+
+        # per-feeder receiver extent accounting (no user location only)
+        if self.receiver_lat is None and mm.receiver_id:
+            from .receiver import RANGE_BAD
+
+            st = self.receivers.position_received(a, mm, lat, lon, now)
+            if st == RANGE_BAD:
+                self.receivers.bad(mm.receiver_id, a.addr, now)
+                return False
+
         if not a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) or not a.seen_pos:
             return True
         elapsed = max(0, now - a.seen_pos)
