@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     # --- output
     p.add_argument("--write-json", default=None, metavar="DIR")
     p.add_argument("--write-json-every", type=float, default=1.0)
+    p.add_argument("--json-globe-index", action="store_true",
+                   help="write globe_NNNN.binCraft.zst tile snapshots + traces")
+    p.add_argument("--json-trace-interval", type=float, default=30.0,
+                   help="aircraft trace point interval, seconds")
+    p.add_argument("--write-traces-every", type=float, default=15.0)
+    p.add_argument("--heatmap", type=float, default=0.0, metavar="SECONDS",
+                   help="enable heatmap sampling at this interval")
+    p.add_argument("--heatmap-dir", default=None)
+    p.add_argument("--globe-history-dir", dest="globe_history_dir", default=None)
     p.add_argument("--json-location-accuracy", type=int, default=1)
     p.add_argument("--write-prom", default=None, metavar="PATH")
     p.add_argument("--write-state", default=None, metavar="DIR",

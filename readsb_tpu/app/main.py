@@ -36,6 +36,8 @@ class App:
             receiver_lat=args.lat,
             receiver_lon=args.lon,
             max_range_km=args.max_range * 1.852,
+            keep_traces=bool(args.json_globe_index or args.heatmap),
+            json_trace_interval=int(args.json_trace_interval * 1000),
         )
         self.net = NetEngine()
         self.epoch_ms = int(time.time() * 1000)
@@ -78,6 +80,13 @@ class App:
             )
 
     def now_ms(self) -> int:
+        """Current time for periodic sweeps.  During ifile replay this is
+        the *synthetic* clock derived from the sample stream (the
+        reference's synthetic_now, sdr_ifile.c:131-133,243-251), so
+        staleness windows track capture time whether replay runs faster
+        or slower than realtime."""
+        if self._demod is not None:
+            return self.epoch_ms + self._demod.scan_global * 5 // 12000
         return int(time.time() * 1000)
 
     # ------------------------------------------------------------------
@@ -126,8 +135,7 @@ class App:
             return
         msgs, demod.modeac_msgs = demod.modeac_msgs, []
         for mm in msgs:
-            if not mm.sys_timestamp_ms:
-                mm.sys_timestamp_ms = self.now_ms()
+            mm.sys_timestamp_ms = self.epoch_ms + mm.timestamp // 12000
             self.handle_message(mm, raw_ts=mm.timestamp)
 
     # ------------------------------------------------------------------
@@ -228,6 +236,8 @@ class App:
         args = self.args
         last_json = 0.0
         last_state = time.time()
+        last_traces = 0.0
+        last_heatmap_slot = -1
         while True:
             await asyncio.sleep(0.25)
             now = self.now_ms()
@@ -248,6 +258,27 @@ class App:
                     os.path.join(args.write_json, "receivers.json"),
                 )
             self.tracker.receivers.maintenance(now, interval_ms=250)
+            if args.json_globe_index and args.write_json:
+                from ..io import history as history_io
+
+                if time.time() - last_traces >= args.write_traces_every:
+                    last_traces = time.time()
+                    history_io.write_traces(self.tracker, args.write_json, now)
+                history_io.write_globe_bincraft(self.tracker, args.write_json, now)
+            if args.heatmap and (args.globe_history_dir or args.heatmap_dir):
+                from ..io import history as history_io
+
+                slot = now // (30 * 60 * 1000)
+                if last_heatmap_slot < 0:
+                    last_heatmap_slot = slot
+                elif slot != last_heatmap_slot:
+                    last_heatmap_slot = slot
+                    start = (slot - 1) * 30 * 60 * 1000
+                    history_io.write_heatmap(
+                        self.tracker, args.heatmap_dir or args.globe_history_dir,
+                        start, start + 30 * 60 * 1000,
+                        interval_ms=int(args.heatmap * 1000),
+                    )
             if args.write_prom:
                 from ..io import stats as stats_io
 

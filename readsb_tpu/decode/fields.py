@@ -292,6 +292,7 @@ class ModesMessage:
     cpr_lon: int = 0
     cpr_type: CprType = CprType.NONE
     cpr_decoded: bool = False
+    sbs_pos_valid: bool = False  # position arrived pre-decoded (SBS/ASTERIX)
     decoded_lat: float = 0.0
     decoded_lon: float = 0.0
     decoded_nic: int = 0

@@ -220,6 +220,10 @@ class Aircraft:
     modea_hit: bool = False
     modec_hit: bool = False
 
+    # history
+    trace: Optional[object] = None  # track.traces.Trace when keep_traces
+    globe_index: int = -1  # current 3-degree globe tile
+
     def rssi(self) -> float:
         """Mean of last-8 signal powers in dBFS (json_out convention)."""
         ring = [s for s in self.signal_ring[-8:] if s > 0]
@@ -238,7 +242,11 @@ class Tracker:
         receiver_lat: Optional[float] = None,
         receiver_lon: Optional[float] = None,
         max_range_km: float = 450.0,
+        keep_traces: bool = False,
+        json_trace_interval: int = 30 * SECONDS,
     ):
+        self.keep_traces = keep_traces
+        self.json_trace_interval = json_trace_interval
         from .receiver import ReceiverStore
 
         self.aircraft: dict[int, Aircraft] = {}
@@ -446,6 +454,10 @@ class Tracker:
         # --- position -----------------------------------------------------
         if mm.cpr_valid:
             self._update_position(a, mm, now)
+        elif mm.sbs_pos_valid:
+            # pre-decoded position (SBS/ASTERIX/MLAT inputs)
+            if self._speed_check(a, mm, mm.decoded_lat, mm.decoded_lon, now):
+                self._set_position(a, mm, mm.decoded_lat, mm.decoded_lon, now, False)
 
         return a
 
@@ -676,6 +688,7 @@ class Tracker:
     def _set_position(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int, from_global: bool) -> None:
         if not self._accept(a, a.position_valid, mm.source, now):
             return
+        prev_seen_pos = a.seen_pos
         a.lat = lat
         a.lon = lon
         a.seen_pos = now
@@ -696,6 +709,19 @@ class Tracker:
             a.pos_reliable_even = min(a.pos_reliable_even + inc, 4.0)
             if from_global:
                 a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, 4.0)
+
+        # globe tile + history trace (traceAdd, globe_index.c:2286)
+        from . import globe as globe_mod
+
+        a.globe_index = globe_mod.globe_index(lat, lon)
+        if self.keep_traces:
+            if a.trace is None:
+                from .traces import Trace
+
+                a.trace = Trace()
+            stale = bool(prev_seen_pos) and now > prev_seen_pos + 2 * TRACK_STALE
+            a.trace.add(a, now, stale=stale,
+                        json_trace_interval=self.json_trace_interval)
 
     # ------------------------------------------------------------------
 
