@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--net-garbage", dest="net_garbage_port", type=int, default=0,
                    help="beast output port for frames from quarantined feeders")
     p.add_argument("--net-api-port", type=int, default=0, help="/re-api query port")
+    p.add_argument("--net-uat-in-port", type=int, default=0,
+                   help="dump978 raw text input listen port (UAT -> synthetic DF18)")
+    p.add_argument("--net-uat-replay-port", type=int, default=0,
+                   help="replay received UAT raw lines to clients")
+    p.add_argument("--net-vrs-port", type=int, default=0, help="VRS-format json output port")
+    p.add_argument("--net-vrs-interval", type=float, default=5.0)
     p.add_argument("--net-connector", action="append", default=[],
                    help="host,port,protocol outbound connection")
     p.add_argument("--net-heartbeat", type=float, default=60.0)

@@ -49,6 +49,8 @@ class App:
         self.out_sbs = self.net.add_output("sbs_out")
         self.out_json = self.net.add_output("json_out")
         self.out_garbage = self.net.add_output("garbage_out")
+        self.out_uat_replay = self.net.add_output("uat_replay_out")
+        self.out_vrs = self.net.add_output("vrs_out")
 
     # ------------------------------------------------------------------
 
@@ -188,6 +190,114 @@ class App:
 
         return RawIn
 
+    def _planefinder_input_factory(self):
+        """Planefinder DLE-stuffed binary input (net_io.c:3995-4103)."""
+        app = self
+
+        class PfIn(InputConnection):
+            def __init__(self):
+                from ..io import planefinder as pf_io
+
+                self.deframer = pf_io.PfDeframer()
+                self.scorer = app._net_scorer()
+
+            async def feed(self, data: bytes) -> None:
+                for pm in self.deframer.feed(data):
+                    if pm.is_modeac:
+                        if not app.args.modeac:
+                            continue
+                        from ..decode.mode_ac import decode_modeac_message
+
+                        mm = decode_modeac_message(
+                            (pm.msg[0] << 8) | pm.msg[1],
+                            sys_timestamp_ms=app.now_ms(),
+                        )
+                        if mm is not None:
+                            app.handle_message(mm)
+                        continue
+                    app._handle_net_frame(
+                        self.scorer,
+                        beast_io.BeastFrame(
+                            msg=pm.msg,
+                            timestamp=pm.timestamp_ns * 12 // 1000,  # ns -> 12MHz
+                            signal_byte=pm.signal_byte,
+                            msg_type=0,
+                        ),
+                    )
+
+        return PfIn
+
+    async def _gpsd_watch(self, writer) -> None:
+        from ..io import gpsd as gpsd_io
+
+        writer.write(gpsd_io.WATCH_COMMAND)
+
+    def _gpsd_input_factory(self):
+        """gpsd TPV JSON -> own receiver location (net_io.c:3609-3717)."""
+        app = self
+
+        class GpsdIn(InputConnection):
+            def __init__(self):
+                self._buf = b""
+
+            async def feed(self, data: bytes) -> None:
+                from ..io import gpsd as gpsd_io
+
+                self._buf += data
+                *lines, self._buf = self._buf.split(b"\n")
+                for line in lines:
+                    fix = gpsd_io.parse_tpv_line(line)
+                    if fix is None:
+                        continue
+                    lat, lon, _alt = fix
+                    app.tracker.receiver_lat = lat
+                    app.tracker.receiver_lon = lon
+                    log.info("gpsd: receiver position %.6f,%.6f", lat, lon)
+
+        return GpsdIn
+
+    def _uat_input_factory(self):
+        """dump978 raw lines -> synthetic DF18 (decodeUatMessage, net_io.c:4334-4371)."""
+        app = self
+
+        class UatIn(InputConnection):
+            def __init__(self):
+                self._buf = b""
+                self.scorer = app._net_scorer()
+
+            async def feed(self, data: bytes) -> None:
+                from ..io import uat as uat_io
+
+                self._buf += data
+                *lines, self._buf = self._buf.split(b"\n")
+                for line in lines:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if app.out_uat_replay.clients:
+                        app.out_uat_replay.send(line + b"\n")
+                    frames, sig = uat_io.convert_line(line)
+                    for frame in frames:
+                        addr = int.from_bytes(frame[1:4], "big")
+                        now = app.now_ms()
+                        a = app.tracker.aircraft.get(addr)
+                        # ignore the first UAT message from a (re)appearing
+                        # aircraft (net_io.c:4357-4366)
+                        if a is None or now > a.seen + 300_000:
+                            app.tracker.get_or_create(addr, now).seen = now
+                            continue
+                        app._handle_net_frame(
+                            self.scorer,
+                            beast_io.BeastFrame(
+                                msg=frame,
+                                timestamp=uat_io.MAGIC_UAT_TIMESTAMP,
+                                signal_byte=sig,
+                                msg_type=0,
+                            ),
+                        )
+
+        return UatIn
+
     def _net_scorer(self):
         from ..decode.score import Scorer
 
@@ -238,9 +348,15 @@ class App:
         last_state = time.time()
         last_traces = 0.0
         last_heatmap_slot = -1
+        last_vrs = 0.0
         while True:
             await asyncio.sleep(0.25)
             now = self.now_ms()
+            if self.out_vrs.clients and time.time() - last_vrs >= args.net_vrs_interval:
+                last_vrs = time.time()
+                from ..io import vrs as vrs_io
+
+                self.out_vrs.send(vrs_io.generate_vrs(self.tracker, now))
             self.tracker.remove_stale(now)
             if args.modeac:
                 self.tracker.match_ac(now)
@@ -311,6 +427,14 @@ class App:
             await self.net.listen_input(
                 InputService("raw_in", self._raw_input_factory()), args.net_ri_port
             )
+        if args.net_uat_in_port:
+            await self.net.listen_input(
+                InputService("uat_in", self._uat_input_factory()), args.net_uat_in_port
+            )
+        if args.net_uat_replay_port:
+            await self.net.listen_output(self.out_uat_replay, args.net_uat_replay_port)
+        if args.net_vrs_port:
+            await self.net.listen_output(self.out_vrs, args.net_vrs_port)
         if args.net_api_port:
             from ..io.api import ApiServer
 
@@ -327,6 +451,24 @@ class App:
                 self.net.add_connector(
                     Connector(host, port, input_factory=self._raw_input_factory())
                 )
+            elif proto == "uat_in":
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._uat_input_factory())
+                )
+            elif proto == "gpsd_in":
+                self.net.add_connector(
+                    Connector(
+                        host, port,
+                        input_factory=self._gpsd_input_factory(),
+                        on_connect=self._gpsd_watch,
+                    )
+                )
+            elif proto == "planefinder_in":
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._planefinder_input_factory())
+                )
+            elif proto == "vrs_out":
+                self.net.add_connector(Connector(host, port, output=self.out_vrs))
             elif proto in ("beast_out", "beast_reduce_out", "beast_reduce_plus_out"):
                 self.net.add_connector(Connector(host, port, output=self.out_beast))
             elif proto == "raw_out":
