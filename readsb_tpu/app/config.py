@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-every", type=float, default=0)
     p.add_argument("--interactive", action="store_true")
 
+    p.add_argument("--db-file", default=None, metavar="PATH",
+                   help="tar1090 aircraft.csv.gz database (registration/type/dbFlags)")
+    p.add_argument("--db-file-lt", action="store_true",
+                   help="accepted for compatibility (long-type always loaded)")
+
     # --- tpu/pipeline tuning
     p.add_argument("--blocks-per-batch", type=int, default=4,
                    help="demod superblock size in 131072-sample blocks")

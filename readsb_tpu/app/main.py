@@ -51,6 +51,11 @@ class App:
         self.out_garbage = self.net.add_output("garbage_out")
         self.out_uat_replay = self.net.add_output("uat_replay_out")
         self.out_vrs = self.net.add_output("vrs_out")
+        if args.db_file:
+            from ..track.acdb import AircraftDb
+
+            self.tracker.db = AircraftDb(args.db_file)
+            self.tracker.db_reload()
 
     # ------------------------------------------------------------------
 
@@ -349,9 +354,13 @@ class App:
         last_traces = 0.0
         last_heatmap_slot = -1
         last_vrs = 0.0
+        last_db_check = time.time()
         while True:
             await asyncio.sleep(0.25)
             now = self.now_ms()
+            if self.tracker.db is not None and time.time() - last_db_check >= 30.0:
+                last_db_check = time.time()
+                self.tracker.db_reload()
             if self.out_vrs.clients and time.time() - last_vrs >= args.net_vrs_interval:
                 last_vrs = time.time()
                 from ..io import vrs as vrs_io
@@ -373,6 +382,13 @@ class App:
                     self.tracker.receivers.receivers_json(now),
                     os.path.join(args.write_json, "receivers.json"),
                 )
+                if args.lat is not None:
+                    import json as _json
+
+                    json_out.write_json_atomic(
+                        _json.loads(self.tracker.outline.outline_json()),
+                        os.path.join(args.write_json, "outline.json"),
+                    )
             self.tracker.receivers.maintenance(now, interval_ms=250)
             if args.json_globe_index and args.write_json:
                 from ..io import history as history_io

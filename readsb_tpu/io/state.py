@@ -30,7 +30,7 @@ def _validity_from_list(x: list) -> Validity:
     return Validity(updated=x[0], source=Source(x[1]), last_source=Source(x[2]))
 
 
-_SKIP = {"signal_ring"}
+_SKIP = {"signal_ring", "trace"}  # trace history persists via its own chunk files
 
 
 def _aircraft_to_dict(a: Aircraft) -> dict:
@@ -97,6 +97,8 @@ def save_state(tracker: Tracker, directory: str, now_ms: int) -> int:
     n = 0
     for blob in range(STATE_BLOBS):
         n += save_blob(tracker, directory, blob)
+    # polar range table rides along (writeRangeDirs, globe_index.c:3460)
+    tracker.outline.save(os.path.join(directory, "rangeDirs.gz"))
     return n
 
 
@@ -118,4 +120,7 @@ def load_state(tracker: Tracker, directory: str) -> int:
             a = _aircraft_from_dict(rec)
             tracker.aircraft[a.addr] = a
             n += 1
+    rd = os.path.join(directory, "rangeDirs.gz")
+    if os.path.exists(rd):
+        tracker.outline.load(rd)
     return n

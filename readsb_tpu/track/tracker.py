@@ -108,6 +108,9 @@ class Aircraft:
     registration: str = ""
     type_code: str = ""
     db_flags: int = 0
+    type_long: str = ""
+    own_op: str = ""
+    year: str = ""
 
     # position state
     lat: float = 0.0
@@ -251,6 +254,7 @@ class Tracker:
 
         self.aircraft: dict[int, Aircraft] = {}
         self.receivers = ReceiverStore()
+        self.db = None  # optional acdb.AircraftDb, joined at create/reload
         self.json_reliable = json_reliable
         self.receiver_lat = receiver_lat
         self.receiver_lon = receiver_lon
@@ -267,6 +271,11 @@ class Tracker:
         # Mode A/C squawk-indexed count/match tables (track.c:56-59)
         import numpy as _np
 
+        from .outline import RangeOutline
+
+        self.outline = RangeOutline()
+        self.distance_max = 0.0  # stats distance_max/min (track.c:298-300)
+        self.distance_min = float("inf")
         self.modeac_count = _np.zeros(4096, dtype=_np.uint32)
         self.modeac_lastcount = _np.zeros(4096, dtype=_np.uint32)
         self.modeac_match = _np.zeros(4096, dtype=_np.uint32)
@@ -278,8 +287,19 @@ class Tracker:
         a = self.aircraft.get(addr)
         if a is None:
             a = Aircraft(addr=addr)
+            if self.db is not None:
+                self.db.apply(a)
             self.aircraft[addr] = a
         return a
+
+    def db_reload(self) -> bool:
+        """Re-check --db-file and re-join all aircraft on change
+        (dbUpdate/dbFinishUpdate, aircraft.c:465-700)."""
+        if self.db is None or not self.db.maybe_reload():
+            return False
+        for a in self.aircraft.values():
+            self.db.apply(a)
+        return True
 
     def _accept(self, a: Aircraft, v: Validity, source: Source, now: int) -> bool:
         """accept_data: source-priority + freshness gate (track.c:128-221)."""
@@ -709,6 +729,20 @@ class Tracker:
             a.pos_reliable_even = min(a.pos_reliable_even + inc, 4.0)
             if from_global:
                 a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, 4.0)
+
+        # polar range histogram vs our own location (track.c:252-300)
+        if self.receiver_lat is not None:
+            dist = greatcircle(self.receiver_lat, self.receiver_lon, lat, lon)
+            self.outline.update(
+                now, dist,
+                bearing(self.receiver_lat, self.receiver_lon, lat, lon),
+                lat, lon,
+                a.baro_alt if a.baro_alt is not None else (a.geom_alt or 0),
+                reliable=a.pos_reliable_odd >= 2 and a.pos_reliable_even >= 2,
+                json_reliable=self.json_reliable,
+            )
+            self.distance_max = max(self.distance_max, dist)
+            self.distance_min = min(self.distance_min, dist)
 
         # globe tile + history trace (traceAdd, globe_index.c:2286)
         from . import globe as globe_mod
