@@ -4,15 +4,23 @@ Design (TPU-first, not a port of the reference's sample-serial scan):
 
   stage 1  dense per-offset preamble pre-check + 3 correlation lanes
            over the whole block (VPU elementwise; ~20 ops/sample)
-  stage 2  compaction of the sparse candidate set to a fixed-K index
-           vector (static shapes keep XLA happy)
-  stage 3  dense 5-phase x 112-bit slicing of the K candidate windows
-           (integer 3/4-tap dot products, exact int32)
-  stage 4  CRC-24 syndromes of all K x 5 sliced messages as a GF(2)
-           matmul, plus per-candidate signal power
-  stage 5  (host or device) serial scoring / non-max suppression with the
+  stage 2  dense 5-kernel slicer *sign planes* over the whole block,
+           bit-packed into int32 words (32 samples/word).  All candidate
+           bit-slicing becomes cheap bit lookups into these planes.
+  stage 3  compaction of the sparse candidate set to a fixed-K index
+           vector via cumsum + scatter (static shapes; ~800x faster than
+           jnp.nonzero's lowering on TPU)
+  stage 4  per candidate: gather 11 *contiguous* packed words per plane
+           (tiny, contiguous, VMEM-friendly — the key redesign vs a
+           (K, 320)-sample window gather), then extract 5 phases x 112
+           bits with vectorized variable shifts
+  stage 5  CRC-24 syndromes + message-byte packing of all K x 5 sliced
+           messages as ONE bf16 MXU matmul (exact: 0/1 inputs, integer
+           weights, all sums < 256, f32 accumulation)
+  stage 6  signal power via exact split hi/lo int32 prefix sums + 2-point
+           lookups (no per-sample gather; exact uint48 arithmetic)
+  stage 7  (host or native) serial scoring / non-max suppression with the
            ICAO-filter feedback, which is inherently sequential but tiny
-           (a few dozen candidates per 131072-sample block)
 
 Numerology is bit-exact with the reference demodulator so decoded frames
 can be diffed frame-for-frame (wiedehopf/readsb demod_2400.c):
@@ -64,6 +72,9 @@ _BYTE_SCHED = {
 NUM_PHASES = 5  # try_phase 4..8
 MAX_TAPS = 4
 SLICE_WINDOW = 320  # max sample offset read by any tap, padded
+WORDS_PER_CAND = 11  # ceil((31 + SLICE_WINDOW) / 32) words cover any window
+SIG_LONG = 112 * 12 // 5  # 268 samples of message body (demod_2400.c:436)
+SIG_SHORT = 56 * 12 // 5  # 134
 
 
 @functools.lru_cache(maxsize=None)
@@ -94,6 +105,52 @@ def slicer_tables() -> tuple[np.ndarray, np.ndarray]:
     return off, coef
 
 
+@functools.lru_cache(maxsize=None)
+def lattice_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(AOFF, KID): int32[5, 112] base sample offset & kernel id per bit.
+
+    bit(o, p, b) = sign_plane[KID[p,b]][o + AOFF[p,b]] — the sign-plane
+    reformulation of the tap schedule above.
+    """
+    aoff = np.zeros((NUM_PHASES, MODES_LONG_MSG_BITS), dtype=np.int32)
+    kid = np.zeros((NUM_PHASES, MODES_LONG_MSG_BITS), dtype=np.int32)
+    for p in range(NUM_PHASES):
+        try_phase = p + 4
+        ptr = 19 + try_phase // 5
+        phase = try_phase % 5
+        bit = 0
+        for _byte in range(MODES_LONG_MSG_BITS // 8):
+            sched, adv = _BYTE_SCHED[phase]
+            for boff, k in sched:
+                aoff[p, bit] = ptr + boff
+                kid[p, bit] = k
+                bit += 1
+            ptr += adv
+            phase = (phase + 1) % 5
+    return aoff, kid
+
+
+@functools.lru_cache(maxsize=None)
+def _combined_matrix() -> np.ndarray:
+    """f32[112, 62]: columns 0:24 CRC-112 parity, 24:48 CRC-56 parity
+    (over the first 56 bits only), 48:62 MSB-first byte-packing weights.
+
+    All matrix entries are small ints; with 0/1 bf16 inputs every dot
+    product is an exact integer < 256, so one MXU matmul computes raw
+    syndrome bit-sums and message bytes simultaneously.
+    """
+    m112 = np.asarray(crc_ops.syndrome_matrix(112), dtype=np.float32)  # (112,24)
+    m56 = np.asarray(crc_ops.syndrome_matrix(56), dtype=np.float32)  # (56,24)
+    pack = np.zeros((112, 14), dtype=np.float32)
+    for b in range(112):
+        pack[b, b // 8] = float(128 >> (b % 8))
+    out = np.zeros((112, 62), dtype=np.float32)
+    out[:, 0:24] = m112
+    out[:56, 24:48] = m56
+    out[:, 48:62] = pack
+    return out
+
+
 class BlockCandidates(NamedTuple):
     """Device outputs of one demodulated block (fixed-size, K candidates)."""
 
@@ -103,32 +160,29 @@ class BlockCandidates(NamedTuple):
     msg: jax.Array  # uint8[K, 5, 14] sliced message bytes per try_phase
     syn112: jax.Array  # int32[K, 5] CRC syndrome over 112 bits
     syn56: jax.Array  # int32[K, 5] CRC syndrome over first 56 bits
-    sigsum_long: jax.Array  # float32[K] sum of mag^2 over 268 samples at +19
-    sigsum_short: jax.Array  # float32[K] sum over first 134 samples
+    sig_long: jax.Array  # int32[K, 2] (hi, lo) exact split sum of mag^2, 268 samples
+    sig_short: jax.Array  # int32[K, 2] (hi, lo) over the first 134 samples
+
+    @property
+    def sigsum_long(self) -> np.ndarray:
+        """Exact f64 sum of mag^2 over the long message body (host-side)."""
+        s = np.asarray(self.sig_long, dtype=np.int64)
+        return ((s[:, 0] << 16) + s[:, 1]).astype(np.float64)
+
+    @property
+    def sigsum_short(self) -> np.ndarray:
+        s = np.asarray(self.sig_short, dtype=np.int64)
+        return ((s[:, 0] << 16) + s[:, 1]).astype(np.float64)
 
 
-def _pack_bytes(bits: jax.Array) -> jax.Array:
-    """bool[..., 112] -> uint8[..., 14] MSB-first."""
-    b = bits.reshape(*bits.shape[:-1], 14, 8).astype(jnp.int32)
-    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32)
-    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
-
-
-def _syndromes(bits: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """bits bool[K,5,112] -> (syn112 int32[K,5], syn56 int32[K,5])."""
-    m112 = jnp.asarray(crc_ops.syndrome_matrix(112), dtype=jnp.float32)
-    m56 = jnp.asarray(crc_ops.syndrome_matrix(56), dtype=jnp.float32)
-    flat = bits.reshape(-1, MODES_LONG_MSG_BITS).astype(jnp.float32)
-    # integer-exact: all partial sums < 2^24
-    s112 = jax.lax.dot(flat, m112, precision=jax.lax.Precision.HIGHEST)
-    s56 = jax.lax.dot(flat[:, :56], m56, precision=jax.lax.Precision.HIGHEST)
-    s112 = s112.astype(jnp.int32) & 1
-    s56 = s56.astype(jnp.int32) & 1
-    w = (1 << jnp.arange(23, -1, -1, dtype=jnp.int32)).astype(jnp.int32)
-    k = bits.shape[0]
-    syn112 = jnp.sum(s112 * w, axis=-1).reshape(k, NUM_PHASES)
-    syn56 = jnp.sum(s56 * w, axis=-1).reshape(k, NUM_PHASES)
-    return syn112, syn56
+def _pack_plane_words(planes: jax.Array) -> jax.Array:
+    """bool[5, L] -> int32[5, W] little-endian bit packing (bit j of word w
+    = plane value at sample 32*w + j)."""
+    nplane, length = planes.shape
+    nwords = length // 32
+    b = planes[:, : nwords * 32].reshape(nplane, nwords, 32).astype(jnp.int32)
+    shifted = b << jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    return jnp.sum(shifted, axis=-1)  # exact: disjoint bits
 
 
 @functools.partial(jax.jit, static_argnames=("k", "scan_len"))
@@ -150,7 +204,9 @@ def demod_block(
     assert buf.shape[0] >= scan_len + SLICE_WINDOW
 
     m = buf.astype(jnp.int32)
+    total = buf.shape[0]
 
+    # --- stage 1: dense preamble pre-check + correlations -------------------
     def at(i):  # shifted view of the scan window
         return jax.lax.dynamic_slice_in_dim(m, i, scan_len)
 
@@ -175,38 +231,99 @@ def demod_block(
     cand = pre & (corr_a | corr_b | corr_c)
     n_cand = jnp.sum(cand.astype(jnp.int32))
 
-    (offsets,) = jnp.nonzero(cand, size=k, fill_value=scan_len)
-    offsets = offsets.astype(jnp.int32)
+    # --- stage 2: dense slicer sign planes, bit-packed ----------------------
+    # plane_kid[s] = (sum_t coef[kid][t] * m[s+t]) > 0 for every sample s
+    def shifted(i, n):
+        return jax.lax.dynamic_slice_in_dim(m, i, n)
 
+    plane_len = total - MAX_TAPS  # every tap in range
+    nwords = (plane_len // 32) + WORDS_PER_CAND + 2  # pad so any gather is in-bounds
+    s0 = shifted(0, plane_len)
+    s1 = shifted(1, plane_len)
+    s2 = shifted(2, plane_len)
+    s3 = shifted(3, plane_len)
+    planes = jnp.stack(
+        [
+            (18 * s0 - 15 * s1 - 3 * s2) > 0,
+            (14 * s0 - 5 * s1 - 9 * s2) > 0,
+            (16 * s0 + 5 * s1 - 20 * s2) > 0,
+            (7 * s0 + 11 * s1 - 18 * s2) > 0,
+            (4 * s0 + 15 * s1 - 20 * s2 + s3) > 0,
+        ]
+    )  # bool (5, plane_len)
+    planes = jnp.pad(planes, ((0, 0), (0, nwords * 32 - plane_len)))
+    pwords = _pack_plane_words(planes)  # int32 (5, nwords)
+
+    # --- stage 3: compaction via cumsum + scatter ----------------------------
+    ci = cand.astype(jnp.int32)
+    slot = jnp.cumsum(ci) - 1  # destination slot per set offset
+    scat = jnp.where(cand, slot, k)
+    offsets = jnp.full(k + 1, scan_len, dtype=jnp.int32)
+    offsets = offsets.at[scat].set(
+        jnp.arange(scan_len, dtype=jnp.int32), mode="drop"
+    )[:k]
+
+    safe = jnp.minimum(offsets, scan_len - 1)
     corr_fired = jnp.stack(
-        [corr_a[jnp.minimum(offsets, scan_len - 1)],
-         corr_b[jnp.minimum(offsets, scan_len - 1)],
-         corr_c[jnp.minimum(offsets, scan_len - 1)]],
-        axis=-1,
+        [corr_a[safe], corr_b[safe], corr_c[safe]], axis=-1
     ) & (offsets < scan_len)[:, None]
 
-    # --- stage 3: slice all candidates x 5 phases x 112 bits ---------------
-    off_tab, coef_tab = slicer_tables()
-    off_j = jnp.asarray(off_tab)  # (5, 112, 4)
-    coef_j = jnp.asarray(coef_tab)
+    # --- stage 4: gather packed words + extract bits -------------------------
+    w0 = offsets >> 5  # first word of the candidate's window
+    s = offsets & 31  # bit offset within that word
+    widx = w0[:, None] + jnp.arange(WORDS_PER_CAND, dtype=jnp.int32)[None, :]
+    words = pwords[:, widx]  # (5, K, 11) — contiguous 11-word windows
+    # flatten to (K, 55) so per-bit word selection is a static take
+    words_flat = jnp.transpose(words, (1, 0, 2)).reshape(k, 5 * WORDS_PER_CAND)
 
-    # windows: (K, SLICE_WINDOW)
-    win_idx = offsets[:, None] + jnp.arange(SLICE_WINDOW, dtype=jnp.int32)[None, :]
-    windows = m[win_idx]
+    aoff_np, kid_np = lattice_tables()  # (5,112) each
+    woff = aoff_np >> 5  # static word offset of each bit
+    roff = aoff_np & 31  # static bit offset
+    flat_lo = jnp.asarray(kid_np * WORDS_PER_CAND + woff)  # (5,112) in [0,55)
+    flat_hi = flat_lo + 1
 
-    gathered = windows[:, off_j]  # (K, 5, 112, 4)
-    logits = jnp.sum(gathered * coef_j[None], axis=-1)  # int32, exact
-    bits = logits > 0
+    bitpos = jnp.asarray(roff)[None] + s[:, None, None]  # (K,5,112) in [0,63)
+    lo = words_flat[:, flat_lo]  # (K,5,112) static take
+    hi = words_flat[:, flat_hi]
+    sel = jnp.where(bitpos < 32, lo, hi)
+    bits = (jax.lax.shift_right_logical(sel, bitpos & 31) & 1).astype(jnp.bfloat16)
 
-    msg = _pack_bytes(bits)  # (K, 5, 14)
-    syn112, syn56 = _syndromes(bits)
+    # --- stage 5: syndromes + byte packing as one MXU matmul ----------------
+    comb = jnp.asarray(_combined_matrix(), dtype=jnp.bfloat16)  # (112, 62)
+    out = jax.lax.dot(
+        bits.reshape(k * NUM_PHASES, MODES_LONG_MSG_BITS),
+        comb,
+        preferred_element_type=jnp.float32,
+    )  # exact integers < 256
+    outi = out.astype(jnp.int32).reshape(k, NUM_PHASES, 62)
+    parity112 = outi[:, :, 0:24] & 1
+    parity56 = outi[:, :, 24:48] & 1
+    msg = outi[:, :, 48:62].astype(jnp.uint8)
+    w24 = (1 << jnp.arange(23, -1, -1, dtype=jnp.int32)).astype(jnp.int32)
+    syn112 = jnp.sum(parity112 * w24, axis=-1)
+    syn56 = jnp.sum(parity56 * w24, axis=-1)
 
-    # --- stage 4: signal power over the message body -----------------------
-    sig_idx = offsets[:, None] + 19 + jnp.arange(112 * 12 // 5, dtype=jnp.int32)[None, :]
-    smag = m[sig_idx].astype(jnp.float32)
-    s2 = smag * smag
-    sigsum_long = jnp.sum(s2, axis=-1)
-    sigsum_short = jnp.sum(s2[:, : 56 * 12 // 5], axis=-1)
+    # --- stage 6: exact signal power via split hi/lo prefix sums -------------
+    # mag^2 = hi*2^16 + lo with hi,lo < 2^16; per-candidate window sums are
+    # < 2^25 each component, and int32 wraparound cumsum differences are
+    # exact for any true window sum < 2^31 (two's-complement arithmetic).
+    mu = buf.astype(jnp.uint32)
+    sq = mu * mu  # exact in uint32 (m < 2^16)
+    sq_hi = (sq >> jnp.uint32(16)).astype(jnp.int32)
+    sq_lo = (sq & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    cs_hi = jnp.cumsum(sq_hi)  # wraparound-exact
+    cs_lo = jnp.cumsum(sq_lo)
+
+    def window_sum(a, b):
+        # sum over samples [offset+a, offset+b) per candidate (a >= 1)
+        ia = offsets + (a - 1)
+        ib = offsets + (b - 1)
+        hi_s = cs_hi[ib] - cs_hi[ia]
+        lo_s = cs_lo[ib] - cs_lo[ia]
+        return jnp.stack([hi_s, lo_s], axis=-1)
+
+    sig_long = window_sum(19, 19 + SIG_LONG)
+    sig_short = window_sum(19, 19 + SIG_SHORT)
 
     return BlockCandidates(
         offsets=offsets,
@@ -215,6 +332,6 @@ def demod_block(
         msg=msg,
         syn112=syn112,
         syn56=syn56,
-        sigsum_long=sigsum_long,
-        sigsum_short=sigsum_short,
+        sig_long=sig_long,
+        sig_short=sig_short,
     )

@@ -37,8 +37,8 @@ class ShardedCandidates(NamedTuple):
     msg: jax.Array  # uint8[C, S, K, 5, 14]
     syn112: jax.Array  # int32[C, S, K, 5]
     syn56: jax.Array  # int32[C, S, K, 5]
-    sigsum_long: jax.Array  # float32[C, S, K]
-    sigsum_short: jax.Array  # float32[C, S, K]
+    sig_long: jax.Array  # int32[C, S, K, 2] exact (hi, lo) split mag^2 sums
+    sig_short: jax.Array  # int32[C, S, K, 2]
 
 
 def make_mesh(n_chan: int, n_time: int, devices=None) -> Mesh:
@@ -89,8 +89,8 @@ def build_sharded_demod(mesh: Mesh, *, k_per_shard: int = 256, threshold: int = 
             msg=ex(cand.msg),
             syn112=ex(cand.syn112),
             syn56=ex(cand.syn56),
-            sigsum_long=ex(cand.sigsum_long),
-            sigsum_short=ex(cand.sigsum_short),
+            sig_long=ex(cand.sig_long),
+            sig_short=ex(cand.sig_short),
         )
 
     shard_fn = jax.shard_map(
@@ -104,8 +104,8 @@ def build_sharded_demod(mesh: Mesh, *, k_per_shard: int = 256, threshold: int = 
             msg=P("chan", "time"),
             syn112=P("chan", "time"),
             syn56=P("chan", "time"),
-            sigsum_long=P("chan", "time"),
-            sigsum_short=P("chan", "time"),
+            sig_long=P("chan", "time"),
+            sig_short=P("chan", "time"),
         ),
     )
 
