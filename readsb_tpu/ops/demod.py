@@ -151,11 +151,70 @@ def _combined_matrix() -> np.ndarray:
     return out
 
 
+_COMPACT_BLK = 256  # samples per local compaction block
+
+
+def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
+    """Compact the candidate mask to k ascending offsets (sentinel scan_len).
+
+    Two-level design (TPU-friendly, no large scatter):
+      1. reshape the mask to (NB, 256) blocks; exclusive prefix within each
+         block via a triangular f32 matmul on the MXU (exact: sums < 2^24)
+      2. per-block candidate offsets via a one-hot contraction, capacity l
+      3. global rank -> block map via an NB-sized scatter + cummax
+      4. offsets[rank] = block * 256 + local_off[block, rank - block_start]
+
+    Returns (offsets int32[k], max_local int32[]) — max_local > l means a
+    block overflowed its local capacity and the caller must retry with a
+    larger l (mirrors the k-overflow escalation).
+    """
+    blk = _COMPACT_BLK
+    nb = (scan_len + blk - 1) // blk
+    pad = nb * blk - scan_len
+    c2 = jnp.pad(cand, (0, pad)).reshape(nb, blk)
+    cf = c2.astype(jnp.float32)
+
+    tri = jnp.asarray(
+        np.tril(np.ones((blk, blk), np.float32), -1)
+    )  # tri[i, j] = 1 for j < i
+    local_excl = jax.lax.dot(
+        cf, tri.T, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (nb, blk) exclusive prefix
+    counts = jnp.sum(c2, axis=1, dtype=jnp.int32)  # (nb,)
+    block_excl = jnp.cumsum(counts) - counts  # (nb,) exclusive
+
+    # rank -> block map: scatter block starts, then cummax fills the gaps
+    starts = jnp.zeros(k + 1, jnp.int32)
+    starts = starts.at[jnp.minimum(block_excl, k)].max(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
+    )
+    blk_of_rank = jax.lax.cummax(starts[:k])  # (k,)
+
+    # per-block compacted local offsets, capacity l
+    j_iota = jnp.arange(l, dtype=jnp.int32)
+    onehot = (
+        (local_excl[:, :, None] == j_iota[None, None, :]) & c2[:, :, None]
+    ).astype(jnp.float32)  # (nb, blk, l)
+    i_iota = jnp.arange(blk, dtype=jnp.float32)
+    local_off = jnp.einsum("bil,i->bl", onehot, i_iota).astype(jnp.int32)
+
+    rank = jnp.arange(k, dtype=jnp.int32)
+    local_rank = rank - block_excl[blk_of_rank]
+    off = local_off[blk_of_rank, jnp.minimum(local_rank, l - 1)]
+    total = jnp.sum(counts)
+    offsets = jnp.where(rank < total, blk_of_rank * blk + off, scan_len)
+    # padding region never produces candidates (cand comes from a scan_len
+    # slice), so offsets < scan_len for all real ranks.
+    return offsets, jnp.max(counts)
+
+
 class BlockCandidates(NamedTuple):
     """Device outputs of one demodulated block (fixed-size, K candidates)."""
 
     offsets: jax.Array  # int32[K] scan offsets (ascending; == sentinel when unused)
     n_cand: jax.Array  # int32[] true candidate count (may exceed K => overflow)
+    max_local: jax.Array  # int32[] max candidates in any 256-sample block
+    #   (> the static l capacity => offsets invalid, retry with larger l)
     corr_fired: jax.Array  # bool[K, 3] which correlation lanes fired (A, B, C)
     msg: jax.Array  # uint8[K, 5, 14] sliced message bytes per try_phase
     syn112: jax.Array  # int32[K, 5] CRC syndrome over 112 bits
@@ -185,13 +244,14 @@ def _pack_plane_words(planes: jax.Array) -> jax.Array:
     return jnp.sum(shifted, axis=-1)  # exact: disjoint bits
 
 
-@functools.partial(jax.jit, static_argnames=("k", "scan_len"))
+@functools.partial(jax.jit, static_argnames=("k", "scan_len", "l"))
 def demod_block(
     buf: jax.Array,
     threshold: jax.Array | int = PREAMBLE_THRESHOLD_DEFAULT,
     *,
     k: int = 2048,
     scan_len: int | None = None,
+    l: int = 64,
 ) -> BlockCandidates:
     """Demodulate one magnitude block.
 
@@ -254,14 +314,13 @@ def demod_block(
     planes = jnp.pad(planes, ((0, 0), (0, nwords * 32 - plane_len)))
     pwords = _pack_plane_words(planes)  # int32 (5, nwords)
 
-    # --- stage 3: compaction via cumsum + scatter ----------------------------
-    ci = cand.astype(jnp.int32)
-    slot = jnp.cumsum(ci) - 1  # destination slot per set offset
-    scat = jnp.where(cand, slot, k)
-    offsets = jnp.full(k + 1, scan_len, dtype=jnp.int32)
-    offsets = offsets.at[scat].set(
-        jnp.arange(scan_len, dtype=jnp.int32), mode="drop"
-    )[:k]
+    # --- stage 3: two-level compaction (no big scatter) ----------------------
+    # TPU scatter over the 2M-sample mask costs ~10 ms; instead compact
+    # hierarchically: per 256-sample block, rank candidates with an
+    # exclusive-prefix triangular matmul (exact in f32: counts < 2^24),
+    # select per-block candidate offsets with a one-hot contraction, then
+    # map global rank -> block via a tiny scatter + cummax.
+    offsets, max_local = _compact_two_level(cand, k, l, scan_len)
 
     safe = jnp.minimum(offsets, scan_len - 1)
     corr_fired = jnp.stack(
@@ -328,6 +387,7 @@ def demod_block(
     return BlockCandidates(
         offsets=offsets,
         n_cand=n_cand,
+        max_local=max_local,
         corr_fired=corr_fired,
         msg=msg,
         syn112=syn112,

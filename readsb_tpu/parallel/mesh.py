@@ -33,6 +33,7 @@ class ShardedCandidates(NamedTuple):
 
     offsets: jax.Array  # int32[C, S, K] global scan offsets
     n_cand: jax.Array  # int32[C, S]
+    max_local: jax.Array  # int32[C, S] compaction capacity watermark
     corr_fired: jax.Array  # bool[C, S, K, 3]
     msg: jax.Array  # uint8[C, S, K, 5, 14]
     syn112: jax.Array  # int32[C, S, K, 5]
@@ -85,6 +86,7 @@ def build_sharded_demod(mesh: Mesh, *, k_per_shard: int = 256, threshold: int = 
         return ShardedCandidates(
             offsets=ex(offsets),
             n_cand=ex(cand.n_cand.reshape(c_l)) if cand.n_cand.ndim else ex(jnp.broadcast_to(cand.n_cand, (c_l,))),
+            max_local=ex(cand.max_local.reshape(c_l)) if cand.max_local.ndim else ex(jnp.broadcast_to(cand.max_local, (c_l,))),
             corr_fired=ex(cand.corr_fired),
             msg=ex(cand.msg),
             syn112=ex(cand.syn112),
@@ -100,6 +102,7 @@ def build_sharded_demod(mesh: Mesh, *, k_per_shard: int = 256, threshold: int = 
         out_specs=ShardedCandidates(
             offsets=P("chan", "time"),
             n_cand=P("chan", "time"),
+            max_local=P("chan", "time"),
             corr_fired=P("chan", "time"),
             msg=P("chan", "time"),
             syn112=P("chan", "time"),

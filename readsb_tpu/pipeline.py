@@ -63,6 +63,7 @@ class Demodulator:
         self.blocks_per_batch = blocks_per_batch
         self.super_samples = block_samples * blocks_per_batch
         self.k = k_per_block * blocks_per_batch
+        self.compact_l = 64  # per-256-sample-block compaction capacity
         self.threshold = threshold
         self.carry_skip = carry_skip
         self.scorer = Scorer(nfix=nfix, fix_df=fix_df)
@@ -190,15 +191,19 @@ class Demodulator:
         k = self.k
         while True:
             cand = demod_ops.demod_block(
-                buf, jnp.int32(self.threshold), k=k, scan_len=self.super_samples
+                buf, jnp.int32(self.threshold), k=k, scan_len=self.super_samples,
+                l=self.compact_l,
             )
             n = int(cand.n_cand)
-            if n <= k:
+            max_local = int(cand.max_local)
+            if n <= k and max_local <= self.compact_l:
                 break
-            # candidate overflow: escalate capacity (recompile is cached per k)
+            # capacity overflow: escalate (recompile is cached per (k, l))
             while k < n:
                 k *= 2
             self.k = k
+            while self.compact_l < max_local:
+                self.compact_l *= 2
 
         offsets = np.asarray(cand.offsets)
         offsets = np.where(offsets < valid_len, offsets, self.super_samples)
