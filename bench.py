@@ -8,15 +8,25 @@ Baseline: the reference readsb demodulator sustains 2.4 MS/s realtime on a
 single CPU core (BASELINE.md); vs_baseline is therefore the "x realtime"
 factor per chip.  North star: >= 1000x (2.4 G samples/s/chip).
 
-The workload is realistic: Gaussian noise at a typical SDR noise floor
-plus embedded ADS-B traffic, pre-rendered as UC8 IQ bytes.  The timed
-region covers the full device pipeline: UC8 bytes -> magnitude LUT ->
-dense preamble correlation -> candidate compaction -> 5-phase slicing ->
-CRC syndromes — one flat call per superblock.
+The workload is realistic: Gaussian noise at a typical SDR noise floor plus
+embedded ADS-B traffic, pre-rendered as UC8 IQ bytes.  Two measurements:
 
-Timing uses best-of-trials: the TPU is reached through a tunnel whose
-latency is high-variance, so the minimum over several trials reflects the
-chip's sustained rate.
+  device  — the jitted device program alone (UC8 bytes -> magnitudes
+            (Pallas kernel) -> dense preamble correlations -> two-level
+            candidate compaction -> 5-phase slicing -> CRC syndromes),
+            back-to-back dispatches.  This is the headline metric.
+  e2e     — full streaming pipeline: device program + candidate transfer
+            to host + native (C++) finalizer producing scored frames.
+            Through the axon tunnel the transfer dominates; on directly
+            attached hardware e2e approaches the device number.
+
+Axon-relay measurement rule (discovered round 2, see PROGRESS notes):
+jax.block_until_ready() is a NO-OP until the process performs its first
+device->host readback; timings taken before that are fire-and-forget
+mirages (they report impossible >30 PFLOPS).  Every timing below runs
+after an explicit readback ("poisoning"), which makes dispatches honest
+(each carries ~2.4 ms of relay round-trip — real TPU hosts don't pay
+this; we amortize it with large superblocks).
 """
 
 import json
@@ -28,6 +38,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from readsb_tpu.constants import BLOCK_SAMPLES, TRAILING_SAMPLES  # noqa: E402
+
+N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 
 def build_workload(n_blocks: int, seed: int = 3):
@@ -46,85 +58,78 @@ def build_workload(n_blocks: int, seed: int = 3):
     return raw, total
 
 
-import jax
-import jax.numpy as jnp
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-from readsb_tpu.ops import convert as convert_ops
-from readsb_tpu.ops import demod as demod_ops
-
-N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-K = 2048 * N_BLOCKS + 256  # +256 dodges a poisoned remote-compile cache entry
-TOTAL_SCAN = N_BLOCKS * BLOCK_SAMPLES
-
-
-# NOTE: the jitted pipeline must be defined at module level: with the
-# tunneled TPU backend, jit functions defined inside another function
-# reproducibly compile to a ~3000x slower executable (same HLO hash).
-@jax.jit
-def pipeline(raw_u8, overlap, threshold):
-    mag = convert_ops.mag_uc8(raw_u8)
-    stream = jnp.concatenate([overlap, mag])
-    return demod_ops.demod_block(stream, threshold, k=K, scan_len=TOTAL_SCAN)
+from readsb_tpu.pipeline import Demodulator  # noqa: E402
 
 
 def run():
-    n_blocks, k, total_scan = N_BLOCKS, K, TOTAL_SCAN
-    raw, total = build_workload(n_blocks)
+    raw, total = build_workload(N_BLOCKS)
 
-    raw_j = jnp.asarray(raw)
-    overlap = jnp.zeros(TRAILING_SAMPLES, dtype=jnp.uint16)
+    demod = Demodulator(fmt="uc8", blocks_per_batch=N_BLOCKS)
+    native = demod.native is not None
+
+    # poison: make all subsequent timings honest (see module docstring)
+    _ = float(jnp.sum(jnp.zeros(8, jnp.float32)))
+
+    # --- warmup / compile + capture candidate stats --------------------------
+    demod.feed(bytes(raw))
+
+    # --- device-only: back-to-back dispatches of the device program ---------
+    from readsb_tpu.ops import demod as demod_ops
+    from readsb_tpu import pipeline as pl_mod
+
     thr = jnp.int32(58)
-
-    # warmup / compile
-    out = pipeline(raw_j, overlap, thr)
+    dev_fn = jax.jit(
+        lambda raw_u8, overlap, t: demod_ops.demod_block(
+            jnp.concatenate([overlap, pl_mod._to_mag(raw_u8, "uc8")]),
+            t,
+            k=demod.k,
+            scan_len=total,
+            l=demod.compact_l,
+        )
+    )
+    raw_j = jnp.asarray(raw)
+    overlap0 = jnp.zeros(TRAILING_SAMPLES, jnp.uint16)
+    out = dev_fn(raw_j, overlap0, thr)
     jax.block_until_ready(out)
-    n_cand = int(out.n_cand)
+    true_cand = int(out.n_cand)
 
-    # timed: several trials, keep the best sustained rate
     reps = 10
-    best_dt = float("inf")
-    for _trial in range(5):
+    best_dev = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = pipeline(raw_j, overlap, thr)
+            out = dev_fn(raw_j, overlap0, thr)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        best_dt = min(best_dt, dt)
+        best_dev = min(best_dev, (time.perf_counter() - t0) / reps)
+    dev_msps = total / best_dev / 1e6
 
-    msps = total * reps / best_dt / 1e6
-
-    # end-to-end check including the host finalizer (not the headline
-    # metric yet; the native finalizer lands in a later milestone)
-    from readsb_tpu.decode.score import Scorer, finalize_block
-
-    scorer = Scorer()
-    host = [
-        np.asarray(out.offsets), np.asarray(out.corr_fired), np.asarray(out.msg),
-        np.asarray(out.syn112), np.asarray(out.syn56),
-        np.asarray(out.sigsum_long), np.asarray(out.sigsum_short),
-    ]
+    # --- end-to-end: stream superblocks through the full pipeline -----------
+    e2e_reps = 5
     t0 = time.perf_counter()
-    frames, _ = finalize_block(
-        scorer, host[0], n_cand, host[1], host[2], host[3], host[4], host[5],
-        host[6], scan_len=total_scan, reset_every=BLOCK_SAMPLES,
-    )
-    dt_host = time.perf_counter() - t0
-    host_msps = total / dt_host / 1e6
+    nframes = 0
+    for _ in range(e2e_reps):
+        nframes += len(demod.feed(bytes(raw)))
+    dt = time.perf_counter() - t0
+    e2e_msps = total * e2e_reps / dt / 1e6
 
     print(
         json.dumps(
             {
                 "metric": "demod_throughput",
-                "value": round(msps, 1),
+                "value": round(dev_msps, 1),
                 "unit": "Msamples/s",
-                "vs_baseline": round(msps / 2.4, 1),
+                "vs_baseline": round(dev_msps / 2.4, 1),
             }
         )
     )
     print(
-        f"# device: blocks={n_blocks} reps={reps} best_dt={best_dt:.3f}s -> {msps:.0f} MS/s"
-        f" | host finalize: {len(frames)} frames, {host_msps:.0f} MS/s-equiv"
-        f" | candidates/block={n_cand / n_blocks:.0f} | {jax.devices()[0]}",
+        f"# device: blocks={N_BLOCKS} best={best_dev*1e3:.1f}ms -> {dev_msps:.0f} MS/s"
+        f" | e2e(native={native}): {e2e_msps:.0f} MS/s, {nframes} frames"
+        f" | candidates={true_cand} (k={demod.k}, l={demod.compact_l})"
+        f" | {jax.devices()[0]}",
         file=sys.stderr,
     )
 

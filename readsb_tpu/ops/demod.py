@@ -151,6 +151,75 @@ def _combined_matrix() -> np.ndarray:
     return out
 
 
+def _dense_stages_jnp(buf: jax.Array, threshold: jax.Array | int):
+    """Pure-jnp dense scan (CPU parity path; the TPU path is the fused
+    Pallas kernel in ops.pallas_kernels — bit-identical, see
+    tests/test_pallas.py).
+
+    Returns (corrbits int8[n], pwords int32[5, >=n//32], cs_hi, cs_lo)
+    where n >= buf length and corrbits bit0..2 = correlation A/B/C fired,
+    bit3 = pre-check AND any correlation (a candidate).
+    """
+    m = buf.astype(jnp.int32)
+    total = buf.shape[0]
+    scan = total - 19  # correlations read up to +18
+
+    def at(i):
+        return jax.lax.dynamic_slice_in_dim(m, i, scan)
+
+    p1, p2, p3, p4, p5 = at(1), at(2), at(3), at(4), at(5)
+    p7, p8, p9, p10, p11 = at(7), at(8), at(9), at(10), at(11)
+    p12, p14, p15, p16, p17, p18 = at(12), at(14), at(15), at(16), at(17), at(18)
+
+    pre = (p1 > p7) & (p12 > p14) & (p12 > p15)
+    base_noise = p5 + p8 + p16 + p17 + p18
+    ref_level = (base_noise * threshold) >> 5
+    d23 = p2 - p3
+    s14 = p1 + p4
+    d1011 = p10 - p11
+    common = s14 - d23 + p9 + p12
+    corr_a = (common - d1011) >= ref_level  # phases 4, 5
+    corr_b = (common + d1011) >= ref_level  # phases 6, 7
+    corr_c = (s14 + 2 * d23 + d1011 + p12) >= ref_level  # phase 8
+    cand = pre & (corr_a | corr_b | corr_c)
+    corrbits = (
+        corr_a.astype(jnp.int32)
+        | (corr_b.astype(jnp.int32) << 1)
+        | (corr_c.astype(jnp.int32) << 2)
+        | (cand.astype(jnp.int32) << 3)
+    ).astype(jnp.int8)
+    corrbits = jnp.pad(corrbits, (0, 19))
+
+    def shifted(i, n):
+        return jax.lax.dynamic_slice_in_dim(m, i, n)
+
+    plane_len = total - MAX_TAPS
+    nwords = (plane_len // 32) + WORDS_PER_CAND + 2
+    s0 = shifted(0, plane_len)
+    s1 = shifted(1, plane_len)
+    s2 = shifted(2, plane_len)
+    s3 = shifted(3, plane_len)
+    planes = jnp.stack(
+        [
+            (18 * s0 - 15 * s1 - 3 * s2) > 0,
+            (14 * s0 - 5 * s1 - 9 * s2) > 0,
+            (16 * s0 + 5 * s1 - 20 * s2) > 0,
+            (7 * s0 + 11 * s1 - 18 * s2) > 0,
+            (4 * s0 + 15 * s1 - 20 * s2 + s3) > 0,
+        ]
+    )
+    planes = jnp.pad(planes, ((0, 0), (0, nwords * 32 - plane_len)))
+    pwords = _pack_plane_words(planes)
+
+    mu = buf.astype(jnp.uint32)
+    sq = mu * mu  # exact in uint32 (m < 2^16)
+    sq_hi = (sq >> jnp.uint32(16)).astype(jnp.int32)
+    sq_lo = (sq & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    cs_hi = jnp.cumsum(sq_hi)  # wraparound-exact
+    cs_lo = jnp.cumsum(sq_lo)
+    return corrbits, pwords, cs_hi, cs_lo
+
+
 _COMPACT_BLK = 256  # samples per local compaction block
 
 
@@ -263,56 +332,22 @@ def demod_block(
         scan_len = buf.shape[0] - TRAILING_SAMPLES
     assert buf.shape[0] >= scan_len + SLICE_WINDOW
 
-    m = buf.astype(jnp.int32)
-    total = buf.shape[0]
+    # --- stages 1/2/6a: dense scan (fused Pallas kernel on TPU) -------------
+    from . import pallas_kernels
 
-    # --- stage 1: dense preamble pre-check + correlations -------------------
-    def at(i):  # shifted view of the scan window
-        return jax.lax.dynamic_slice_in_dim(m, i, scan_len)
+    if pallas_kernels.supported():
+        tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
+        padded = ((buf.shape[0] + tile - 1) // tile) * tile
+        bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
+        corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_pallas(
+            bufp, threshold
+        )
+    else:
+        corrbits, pwords, cs_hi, cs_lo = _dense_stages_jnp(buf, threshold)
 
-    p1, p2, p3, p4, p5 = at(1), at(2), at(3), at(4), at(5)
-    p7, p8, p9, p10, p11 = at(7), at(8), at(9), at(10), at(11)
-    p12, p14, p15, p16, p17, p18 = at(12), at(14), at(15), at(16), at(17), at(18)
-
-    pre = (p1 > p7) & (p12 > p14) & (p12 > p15)
-
-    base_noise = p5 + p8 + p16 + p17 + p18
-    ref_level = (base_noise * threshold) >> 5
-
-    d23 = p2 - p3
-    s14 = p1 + p4
-    d1011 = p10 - p11
-    common = s14 - d23 + p9 + p12
-
-    corr_a = (common - d1011) >= ref_level  # phases 4, 5
-    corr_b = (common + d1011) >= ref_level  # phases 6, 7
-    corr_c = (s14 + 2 * d23 + d1011 + p12) >= ref_level  # phase 8
-
-    cand = pre & (corr_a | corr_b | corr_c)
+    cbits = corrbits[:scan_len]
+    cand = (cbits & 8) != 0
     n_cand = jnp.sum(cand.astype(jnp.int32))
-
-    # --- stage 2: dense slicer sign planes, bit-packed ----------------------
-    # plane_kid[s] = (sum_t coef[kid][t] * m[s+t]) > 0 for every sample s
-    def shifted(i, n):
-        return jax.lax.dynamic_slice_in_dim(m, i, n)
-
-    plane_len = total - MAX_TAPS  # every tap in range
-    nwords = (plane_len // 32) + WORDS_PER_CAND + 2  # pad so any gather is in-bounds
-    s0 = shifted(0, plane_len)
-    s1 = shifted(1, plane_len)
-    s2 = shifted(2, plane_len)
-    s3 = shifted(3, plane_len)
-    planes = jnp.stack(
-        [
-            (18 * s0 - 15 * s1 - 3 * s2) > 0,
-            (14 * s0 - 5 * s1 - 9 * s2) > 0,
-            (16 * s0 + 5 * s1 - 20 * s2) > 0,
-            (7 * s0 + 11 * s1 - 18 * s2) > 0,
-            (4 * s0 + 15 * s1 - 20 * s2 + s3) > 0,
-        ]
-    )  # bool (5, plane_len)
-    planes = jnp.pad(planes, ((0, 0), (0, nwords * 32 - plane_len)))
-    pwords = _pack_plane_words(planes)  # int32 (5, nwords)
 
     # --- stage 3: two-level compaction (no big scatter) ----------------------
     # TPU scatter over the 2M-sample mask costs ~10 ms; instead compact
@@ -323,8 +358,9 @@ def demod_block(
     offsets, max_local = _compact_two_level(cand, k, l, scan_len)
 
     safe = jnp.minimum(offsets, scan_len - 1)
-    corr_fired = jnp.stack(
-        [corr_a[safe], corr_b[safe], corr_c[safe]], axis=-1
+    cb = cbits[safe].astype(jnp.int32)
+    corr_fired = (
+        jnp.stack([cb & 1, (cb >> 1) & 1, (cb >> 2) & 1], axis=-1) != 0
     ) & (offsets < scan_len)[:, None]
 
     # --- stage 4: gather packed words + extract bits -------------------------
@@ -363,16 +399,7 @@ def demod_block(
     syn56 = jnp.sum(parity56 * w24, axis=-1)
 
     # --- stage 6: exact signal power via split hi/lo prefix sums -------------
-    # mag^2 = hi*2^16 + lo with hi,lo < 2^16; per-candidate window sums are
-    # < 2^25 each component, and int32 wraparound cumsum differences are
-    # exact for any true window sum < 2^31 (two's-complement arithmetic).
-    mu = buf.astype(jnp.uint32)
-    sq = mu * mu  # exact in uint32 (m < 2^16)
-    sq_hi = (sq >> jnp.uint32(16)).astype(jnp.int32)
-    sq_lo = (sq & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    cs_hi = jnp.cumsum(sq_hi)  # wraparound-exact
-    cs_lo = jnp.cumsum(sq_lo)
-
+    # (cs_hi/cs_lo computed by the dense stage; wraparound-exact int32)
     def window_sum(a, b):
         # sum over samples [offset+a, offset+b) per candidate (a >= 1)
         ia = offsets + (a - 1)

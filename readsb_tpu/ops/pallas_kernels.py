@@ -1,0 +1,345 @@
+"""Pallas TPU kernels for the demod hot path.
+
+The XLA lowering of the 64k-entry UC8 magnitude LUT is a generic gather
+(~25 ms per 2M-sample superblock on v5e — the single largest cost in the
+round-1 pipeline).  This module replaces it with an arithmetic kernel that
+is bit-exact with the reference LUT (wiedehopf/readsb convert.c:35-62):
+
+  mag = u16( sqrtf(min(1, fi^2 + fq^2)) * 65535f + 0.5f )
+
+with fi = f32((i - 127.5) / 127.5).  Exactness on TPU requires two tricks:
+
+  1. fi^2 comes from a 128-entry f32 table (fi^2 is symmetric in
+     i <-> 255-i) fetched with Mosaic's lane `dynamic_gather`
+     (jnp.take_along_axis on a row-broadcast table).  This sidesteps both
+     the divide (whose strength-reduced lowering is not correctly
+     rounded) and the FMA contraction of fi*fi + fq*fq.
+  2. The VPU's f32 sqrt is not correctly rounded (~45% of values are
+     1 ulp off).  We recover the correctly rounded sqrt from the sloppy
+     one by evaluating |c^2 - s| exactly (Veltkamp split + two-sum; the
+     arithmetic is exact in IEEE f32 mul/add, which the VPU does honor)
+     for the three candidates {y-ulp, y, y+ulp} and taking the argmin.
+     The comparison tolerates the final two-sum rounding because the
+     candidate margins are ~2^40 x larger (no exact ties exist in the
+     4817-value input domain; tests/test_convert.py checks all 65536
+     IQ pairs against the LUT).
+
+The whole kernel is ~60 VPU ops/sample — dwarfed by HBM traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS_PER_STEP = 512  # (512, 128) samples per grid step
+
+
+@functools.lru_cache(maxsize=None)
+def _sq_table_np() -> np.ndarray:
+    """f32[128]: fi^2 for i in 0..127 (symmetric half; fi per convert.c)."""
+    i = np.arange(128, dtype=np.float64)
+    fi = ((i - 127.5) / 127.5).astype(np.float32)
+    return fi * fi
+
+
+def _cr_sqrt(s: jax.Array) -> jax.Array:
+    """Correctly rounded f32 sqrt from the VPU's ~1ulp-sloppy sqrt."""
+    y = jnp.sqrt(s)
+
+    def nudge(x, d):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.int32) + d, jnp.float32
+        )
+
+    def dabs(c):
+        split = jnp.float32(4097.0)
+        t = c * split
+        c_hi = t - (t - c)
+        c_lo = c - c_hi
+        e1 = c_hi * c_hi - s          # Sterbenz-exact (c_hi^2 within 2x of s)
+        p_hl = jnp.float32(2.0) * c_hi * c_lo  # exact
+        p_ll = c_lo * c_lo            # exact
+        sh = e1 + p_hl
+        t2 = sh - e1
+        err = (e1 - (sh - t2)) + (p_hl - t2)
+        return jnp.abs(sh + (err + p_ll))
+
+    cm = nudge(y, -1)
+    cp = nudge(y, 1)
+    dm, d0, dp = dabs(cm), dabs(y), dabs(cp)
+    best = jnp.where(dm < d0, cm, y)
+    db = jnp.minimum(dm, d0)
+    return jnp.where(dp < db, cp, best)
+
+
+def _uc8_kernel(sqtab_ref, words_ref, mag_ref):
+    w = words_ref[:].astype(jnp.int32)
+    ib = w & 0xFF
+    qb = (w >> 8) & 0xFF
+    ui = jnp.minimum(ib, 255 - ib)  # fi^2 symmetric in i <-> 255-i
+    uq = jnp.minimum(qb, 255 - qb)
+    tab = jnp.broadcast_to(sqtab_ref[:], (w.shape[0], LANES))
+    sq_i = jnp.take_along_axis(tab, ui, axis=1)
+    sq_q = jnp.take_along_axis(tab, uq, axis=1)
+    s = jnp.minimum(sq_i + sq_q, jnp.float32(1.0))
+    g = _cr_sqrt(s)
+    m = g * jnp.float32(65535.0) + jnp.float32(0.5)
+    # f32 -> uint16 is unsupported in Mosaic; go via int32 (values < 2^16)
+    mag_ref[:] = m.astype(jnp.int32).astype(jnp.uint16)
+
+
+# ---------------------------------------------------------------------------
+# Fused dense scan: preamble correlations + slicer sign planes (bit-packed)
+# + split hi/lo prefix sums of mag^2 — one pass over the sample stream.
+# ---------------------------------------------------------------------------
+
+DENSE_ROWS = 512  # (512, 128) = 65536 samples per grid step
+
+
+def _shifted_family(m_ext: jax.Array, rows: int, ks: tuple[int, ...]):
+    """Dict k -> (rows, 128) int32 view of flat samples shifted by +k.
+
+    m_ext is (rows + 1, 128): the tile plus one lookahead row.  Shifts are
+    lane rolls stitched across the row boundary (k < 128).
+    """
+    a = m_ext[:rows]
+    b = m_ext[1 : rows + 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    out = {}
+    for k in ks:
+        if k == 0:
+            out[k] = a
+            continue
+        ra = pltpu.roll(a, LANES - k, axis=1)  # left-rotate by k
+        rb = pltpu.roll(b, LANES - k, axis=1)
+        out[k] = jnp.where(col < LANES - k, ra, rb)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_weights_np() -> tuple[np.ndarray, np.ndarray]:
+    """(W_lo, W_hi): f32[128, 4] packing weights for 32-sample words.
+
+    word w of a 128-lane row packs lanes [32w, 32w+32); lo takes bit lanes
+    32w..32w+15 (weights 2^0..2^15), hi the rest.  Exact in f32 (< 2^16).
+    """
+    w_lo = np.zeros((LANES, 4), np.float32)
+    w_hi = np.zeros((LANES, 4), np.float32)
+    for c in range(LANES):
+        w, j = divmod(c, 32)
+        if j < 16:
+            w_lo[c, w] = float(1 << j)
+        else:
+            w_hi[c, w] = float(1 << (j - 16))
+    return w_lo, w_hi
+
+
+def _lane_prefix_i32(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along lanes (wraparound int32, exact)."""
+    rows = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    for j in (1, 2, 4, 8, 16, 32, 64):
+        x = x + jnp.where(col >= j, pltpu.roll(x, j, axis=1), 0)
+    return x
+
+
+def _row_prefix_excl_i32(x: jax.Array) -> jax.Array:
+    """Exclusive prefix sum along sublanes (axis 0), wraparound int32."""
+    rows = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, x.shape[1]), 0)
+    inc = x
+    j = 1
+    while j < rows:
+        inc = inc + jnp.where(row >= j, pltpu.roll(inc, j, axis=0), 0)
+        j *= 2
+    return inc - x
+
+
+def _dense_scan_kernel(
+    thr_ref, m_ref, halo_ref, wlo_ref, whi_ref,
+    corr_ref, pw_ref, cs_hi_ref, cs_lo_ref, carry
+):
+    rows = DENSE_ROWS
+    thr = thr_ref[0]
+    t_id = pl.program_id(0)
+    # halo rows are replicated 8x so the dynamic index is provably aligned
+    halo_row = halo_ref[pl.ds(pl.multiple_of(t_id * 8, 8), 8), :][:1]
+    m_ext = jnp.concatenate(
+        [m_ref[:].astype(jnp.int32), halo_row.astype(jnp.int32)], axis=0
+    )
+    at = _shifted_family(
+        m_ext, rows, (0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18)
+    )
+
+    # --- preamble pre-check + 3 correlations (demod_2400.c:311-378) ---------
+    pre = (at[1] > at[7]) & (at[12] > at[14]) & (at[12] > at[15])
+    base_noise = at[5] + at[8] + at[16] + at[17] + at[18]
+    ref_level = (base_noise * thr) >> 5
+    d23 = at[2] - at[3]
+    s14 = at[1] + at[4]
+    d1011 = at[10] - at[11]
+    common = s14 - d23 + at[9] + at[12]
+    corr_a = (common - d1011) >= ref_level
+    corr_b = (common + d1011) >= ref_level
+    corr_c = (s14 + 2 * d23 + d1011 + at[12]) >= ref_level
+    cand = pre & (corr_a | corr_b | corr_c)
+    corr_ref[:] = (
+        corr_a.astype(jnp.int32)
+        | (corr_b.astype(jnp.int32) << 1)
+        | (corr_c.astype(jnp.int32) << 2)
+        | (cand.astype(jnp.int32) << 3)
+    ).astype(jnp.int8)
+
+    # --- slicer sign planes, bit-packed 32 samples/word ----------------------
+    s0, s1, s2, s3 = at[0], at[1], at[2], at[3]
+    planes = jnp.concatenate(
+        [
+            (18 * s0 - 15 * s1 - 3 * s2) > 0,
+            (14 * s0 - 5 * s1 - 9 * s2) > 0,
+            (16 * s0 + 5 * s1 - 20 * s2) > 0,
+            (7 * s0 + 11 * s1 - 18 * s2) > 0,
+            (4 * s0 + 15 * s1 - 20 * s2 + s3) > 0,
+        ],
+        axis=0,
+    ).astype(jnp.float32)  # (5*rows, 128)
+    lo = jax.lax.dot(planes, wlo_ref[:], preferred_element_type=jnp.float32)
+    hi = jax.lax.dot(planes, whi_ref[:], preferred_element_type=jnp.float32)
+    words4 = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)  # (5*rows, 4)
+    pw_ref[:] = words4.reshape(5, rows, 4)
+
+    # --- split hi/lo prefix sums of mag^2 (wraparound-exact int32) ----------
+    mm = at[0]
+    mh = mm >> 8
+    ml = mm & 0xFF
+    t = 2 * mh * ml * 256 + ml * ml  # < 2^26, exact
+    sq_hi = mh * mh + (t >> 16)
+    sq_lo = t & 0xFFFF
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry[0] = 0
+        carry[1] = 0
+
+    ph = _lane_prefix_i32(sq_hi)
+    pl_ = _lane_prefix_i32(sq_lo)
+    rh = _row_prefix_excl_i32(ph[:, LANES - 1 :])
+    rl = _row_prefix_excl_i32(pl_[:, LANES - 1 :])
+    cs_hi = ph + rh + carry[0]
+    cs_lo = pl_ + rl + carry[1]
+    cs_hi_ref[:] = cs_hi
+    cs_lo_ref[:] = cs_lo
+    carry[0] = cs_hi[rows - 1, LANES - 1]
+    carry[1] = cs_lo[rows - 1, LANES - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool = False):
+    """One fused pass over magnitudes.
+
+    buf: (n,) uint16 with n % (DENSE_ROWS*128) == 0 (caller pads; pad
+    samples produce no in-range candidates because the caller slices to
+    scan_len).  Returns:
+      corrbits int8[n]           bit0..2 = corr A/B/C fired, bit3 = cand
+      pwords   int32[5, n//32]   slicer sign planes, 32 samples/word
+      cs_hi    int32[n]          inclusive prefix of (mag^2 >> 16)
+      cs_lo    int32[n]          inclusive prefix of (mag^2 & 0xffff)
+
+    Matches the pure-jnp stages of ops.demod.demod_block bit-for-bit
+    (tests/test_pallas.py).
+    """
+    n = buf.shape[0]
+    tile = DENSE_ROWS * LANES
+    assert n % tile == 0, n
+    ntiles = n // tile
+    rows = n // LANES
+    m2d = buf.reshape(rows, LANES)
+    # one lookahead row per tile; the final tile reads a zero row
+    halo_rows = jnp.concatenate(
+        [m2d[DENSE_ROWS::DENSE_ROWS][: ntiles - 1], jnp.zeros((1, LANES), buf.dtype)]
+    ) if ntiles > 1 else jnp.zeros((1, LANES), buf.dtype)
+    halo_rows = jnp.repeat(halo_rows, 8, axis=0)  # sublane-aligned dynamic loads
+
+    grid = (ntiles,)
+    corr, pw, cs_hi, cs_lo = pl.pallas_call(
+        _dense_scan_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((5, rows, 4), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full halo array, tiny
+            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (5, DENSE_ROWS, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(threshold, jnp.int32).reshape(1),
+        m2d,
+        halo_rows,
+        jnp.asarray(_pack_weights_np()[0]),
+        jnp.asarray(_pack_weights_np()[1]),
+    )
+    pwords = pw.reshape(5, rows * 4)  # word w covers samples 32w..32w+31
+    return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
+
+
+def supported() -> bool:
+    """True when the native Mosaic path is available (a real TPU backend)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mag_uc8_pallas(iq: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """UC8 interleaved bytes (2N,) uint8 -> (N,) uint16 magnitudes.
+
+    Bit-exact with ops.convert.mag_uc8 (the 64k LUT; exhaustive test in
+    tests/test_pallas.py); requires N % (ROWS_PER_STEP * 128) == 0 — the
+    pipeline's superblocks are.  interpret=True runs the Mosaic
+    interpreter (CPU testing).
+    """
+    n = iq.shape[0] // 2
+    assert n % (ROWS_PER_STEP * LANES) == 0, n
+    words = jax.lax.bitcast_convert_type(
+        iq.reshape(n, 2), jnp.uint16
+    ).reshape(n // LANES, LANES)
+    grid = (n // (ROWS_PER_STEP * LANES),)
+    out = pl.pallas_call(
+        _uc8_kernel,
+        out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ROWS_PER_STEP, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROWS_PER_STEP, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(jnp.asarray(_sq_table_np()).reshape(1, LANES), words)
+    return out.reshape(-1)

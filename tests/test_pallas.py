@@ -1,0 +1,64 @@
+"""Pallas kernel parity tests (Mosaic interpreter on CPU; native on TPU).
+
+The Pallas UC8 convert must be bit-exact with the reference 64k LUT
+(wiedehopf/readsb convert.c:35-62) — the pipeline switches between the two
+by backend, so any deviation would silently break frame parity on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from readsb_tpu.ops.convert import uc8_lut_np
+from readsb_tpu.ops import pallas_kernels as pk
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def test_uc8_pallas_exhaustive():
+    """All 65536 (I, Q) byte pairs match the LUT exactly."""
+    lut = uc8_lut_np()
+    gran = pk.ROWS_PER_STEP * pk.LANES
+    ii, qq = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    pairs = np.stack([ii.ravel(), qq.ravel()], -1).astype(np.uint8)
+    reps = -(-gran // 65536)
+    iq = np.tile(pairs, (reps, 1))[:gran].reshape(-1)
+    out = np.asarray(pk.mag_uc8_pallas(jnp.asarray(iq), interpret=_interpret()))
+    ref = lut[(iq[0::2].astype(np.int64) * 256 + iq[1::2])]
+    assert (out == ref).all()
+
+
+def test_dense_scan_matches_jnp_stages():
+    """Fused dense-scan kernel == the pure-jnp stage implementations."""
+    from readsb_tpu.ops import demod as demod_ops
+
+    n = pk.DENSE_ROWS * pk.LANES  # one tile (interpret mode is slow)
+    rng = np.random.default_rng(3)
+    mag = rng.integers(0, 65536, n, dtype=np.int64).astype(np.uint16)
+    buf = jnp.asarray(mag)
+    thr = jnp.int32(58)
+
+    corr, pwords, cs_hi, cs_lo = pk.dense_scan_pallas(
+        buf, thr, interpret=_interpret()
+    )
+    corr_j, pw_j, ch_j, cl_j = demod_ops._dense_stages_jnp(buf, thr)
+
+    valid = n - 128  # kernel lookahead beyond one tile reads zeros
+    assert (np.asarray(corr)[:valid - 19] == np.asarray(corr_j)[:valid - 19]).all()
+    nw = (valid - 131) // 32
+    assert (np.asarray(pwords)[:, :nw] == np.asarray(pw_j)[:, :nw]).all()
+    assert (np.asarray(cs_hi) == np.asarray(ch_j)).all()
+    assert (np.asarray(cs_lo) == np.asarray(cl_j)).all()
+
+
+def test_uc8_pallas_matches_jnp_on_noise():
+    from readsb_tpu.ops import convert as convert_ops
+
+    gran = pk.ROWS_PER_STEP * pk.LANES
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, gran * 2, dtype=np.int64).astype(np.uint8)
+    a = np.asarray(pk.mag_uc8_pallas(jnp.asarray(raw), interpret=_interpret()))
+    b = np.asarray(convert_ops.mag_uc8(jnp.asarray(raw)))
+    assert (a == b).all()
