@@ -364,12 +364,17 @@ def demod_block(
     ) & (offsets < scan_len)[:, None]
 
     # --- stage 4: gather packed words + extract bits -------------------------
+    offsets = jax.lax.optimization_barrier(offsets)
     w0 = offsets >> 5  # first word of the candidate's window
     s = offsets & 31  # bit offset within that word
     widx = w0[:, None] + jnp.arange(WORDS_PER_CAND, dtype=jnp.int32)[None, :]
     words = pwords[:, widx]  # (5, K, 11) — contiguous 11-word windows
+    # barriers pin stage boundaries: without them XLA re-fuses the gathers
+    # into the downstream matmul operands and recomputes them (~7 ms)
+    words = jax.lax.optimization_barrier(words)
     # flatten to (K, 55) so per-bit word selection is a static take
     words_flat = jnp.transpose(words, (1, 0, 2)).reshape(k, 5 * WORDS_PER_CAND)
+    words_flat = jax.lax.optimization_barrier(words_flat)
 
     aoff_np, kid_np = lattice_tables()  # (5,112) each
     woff = aoff_np >> 5  # static word offset of each bit
@@ -382,6 +387,7 @@ def demod_block(
     hi = words_flat[:, flat_hi]
     sel = jnp.where(bitpos < 32, lo, hi)
     bits = (jax.lax.shift_right_logical(sel, bitpos & 31) & 1).astype(jnp.bfloat16)
+    bits = jax.lax.optimization_barrier(bits)
 
     # --- stage 5: syndromes + byte packing as one MXU matmul ----------------
     comb = jnp.asarray(_combined_matrix(), dtype=jnp.bfloat16)  # (112, 62)

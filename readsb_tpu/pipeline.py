@@ -17,6 +17,8 @@ Frame-level parity with the reference (sdr_ifile.c:169-260 block cadence):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,6 +64,7 @@ class Demodulator:
         carry_skip: bool = False,
         use_native: bool | None = None,
         modeac: bool = False,
+        use_gate: bool | None = None,
     ):
         self.fmt = fmt
         self.block_samples = block_samples
@@ -93,19 +96,47 @@ class Demodulator:
         self.modeac_msgs: list = []  # decoded ModesMessage, drained by caller
         self.stats_modeac = 0
 
+        # device-side score gate: only plausibly-acceptable candidates are
+        # transferred (ops/gate.py); frame output and stats are unchanged.
+        # Default on for TPU backends (where the device->host link is the
+        # bottleneck); forceable on CPU for the equivalence tests.
+        self.use_gate = (
+            pallas_kernels.supported() if use_gate is None else use_gate
+        )
+        self.nfix = nfix
+        self.fix_df = fix_df
+        self.gate_k2 = 1024
+        self._gate_drops = [0, 0, 0]  # preambles, rejected_unknown, rejected_bad
+        if self.use_gate:
+            from .ops.gate import DeviceIcaoMirror
+
+            self.icao_mirror = DeviceIcaoMirror()
+
     @property
     def stats(self):
-        if self.native is not None:
-            from .decode.score import DemodStats
+        from .decode.score import DemodStats
 
+        if self.native is not None:
             st = self.native.stats()
             d = DemodStats()
             d.preambles = st["preambles"]
             d.rejected_bad = st["rejected_bad"]
             d.rejected_unknown_icao = st["rejected_unknown_icao"]
             d.accepted = st["accepted"]
-            return d
-        return self.scorer.stats
+        else:
+            s = self.scorer.stats
+            d = DemodStats()
+            d.preambles = s.preambles
+            d.rejected_bad = s.rejected_bad
+            d.rejected_unknown_icao = s.rejected_unknown_icao
+            d.accepted = list(s.accepted)
+            d.overflow_blocks = s.overflow_blocks
+        # candidates classified+dropped on device (ops/gate.py) — the drop
+        # counters are exactly what the host would have counted for them
+        d.preambles += self._gate_drops[0]
+        d.rejected_unknown_icao += self._gate_drops[1]
+        d.rejected_bad += self._gate_drops[2]
+        return d
 
     # ------------------------------------------------------------------
 
@@ -139,6 +170,8 @@ class Demodulator:
 
     def _process(self, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
         mag = _to_mag(raw_bytes, self.fmt)
+        if self.use_gate and not self.modeac:
+            return self._demod_mag_gated(mag, valid_len)
         level, power = convert_ops.block_stats(
             mag[:valid_len] if valid_len < self.super_samples else mag
         )
@@ -151,6 +184,8 @@ class Demodulator:
         """Feed a pre-converted magnitude superblock (super_samples long)."""
         assert len(mag) == self.super_samples
         mag_j = jnp.asarray(mag, dtype=jnp.uint16)
+        if self.use_gate and not self.modeac:
+            return self._demod_mag_gated(mag_j, self.super_samples)
         if self.modeac:
             level, power = convert_ops.block_stats(mag_j)
             self.mean_level = float(level)
@@ -257,6 +292,131 @@ class Demodulator:
         else:
             self.scorer.icao.expire(now_ms)
         return frames
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every"),
+)
+def _demod_and_gate(
+    mag, overlap, valid_len, threshold, bm_cur, bm_prev,
+    *, k, scan_len, l, k2, nfix, fix_df, reset_every,
+):
+    """One dispatch: concat overlap, demod, score-gate, block stats.
+
+    Returns (GatedCandidates, new_overlap, mean_level, mean_power) — the
+    only host transfers the gated pipeline needs per superblock.
+    """
+    from .ops.gate import score_gate
+
+    buf = jnp.concatenate([overlap, mag])
+    bc = demod_ops.demod_block(buf, threshold, k=k, scan_len=scan_len, l=l)
+    gc = score_gate(
+        bc, bm_cur, bm_prev, valid_len,
+        scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
+        reset_every=reset_every,
+    )
+    i = jnp.arange(mag.shape[0], dtype=jnp.int32)
+    mv = jnp.where(i < valid_len, mag.astype(jnp.float32), 0.0)
+    nv = jnp.maximum(valid_len, 1).astype(jnp.float32)
+    level = jnp.sum(mv) / 65536.0 / nv
+    power = jnp.sum(mv * mv) / (65535.0 * 65535.0) / nv
+    return gc, buf[-TRAILING_SAMPLES:], level, power
+
+
+def _sigsum(a: np.ndarray) -> np.ndarray:
+    s = np.asarray(a, dtype=np.int64)
+    return ((s[:, 0] << 16) + s[:, 1]).astype(np.float64)
+
+
+def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[RawFrame]:
+    """TPU path: demod + device score gate in one dispatch; tiny transfer."""
+    mirror = self.icao_mirror
+    if getattr(self, "_overlap_dev", None) is None:
+        self._overlap_dev = jnp.asarray(self.overlap)
+    while True:
+        gc, new_overlap, level, power = _demod_and_gate(
+            mag,
+            self._overlap_dev,
+            jnp.int32(valid_len),
+            jnp.int32(self.threshold),
+            mirror.bm_cur,
+            mirror.bm_prev,
+            k=self.k,
+            scan_len=self.super_samples,
+            l=self.compact_l,
+            k2=self.gate_k2,
+            nfix=self.nfix,
+            fix_df=self.fix_df,
+            reset_every=self.block_samples,
+        )
+        n, max_local, n_keep = jax.device_get(
+            [gc.n_cand, gc.max_local, gc.n_keep]
+        )
+        n, max_local, n_keep = int(n), int(max_local), int(n_keep)
+        if n <= self.k and max_local <= self.compact_l and n_keep <= self.gate_k2:
+            break
+        while self.k < n:
+            self.k *= 2
+        while self.compact_l < max_local:
+            self.compact_l *= 2
+        while self.gate_k2 < n_keep:
+            self.gate_k2 *= 2
+
+    # one batched fetch of everything the host needs this superblock
+    (offs, cf, msg, s112, s56, sl, ss, pre_d, unk_d, bad_d, dcq, dcb, lv, pw) = (
+        jax.device_get(
+            [
+                gc.offsets, gc.corr_fired, gc.msg, gc.syn112, gc.syn56,
+                gc.sig_long, gc.sig_short,
+                gc.pre_drop, gc.unknown_drop, gc.bad_drop,
+                gc.drop_cum_q, gc.drop_cum_bnd, level, power,
+            ]
+        )
+    )
+    self._overlap_dev = new_overlap
+    self.mean_level = float(lv)
+    self.mean_power = float(pw)
+    args = (offs, n_keep, cf, msg, s112, s56, _sigsum(sl), _sigsum(ss))
+    kw = dict(
+        scan_len=self.super_samples,
+        block_scan_start=self.scan_global,
+        carry_skip=self._skip,
+        reset_every=self.block_samples,
+    )
+    if self.native is not None:
+        frames, leftover = self.native.finalize_block(*args, **kw)
+    else:
+        frames, leftover = finalize_block(self.scorer, *args, **kw)
+    self._skip = leftover if self.carry_skip else 0
+
+    # drops inside NMS skip windows are never counted by the serial
+    # finalizer; subtract them from the device totals (exact stats parity)
+    from .ops.gate import skipped_drops
+
+    sk_u, sk_b = skipped_drops(
+        frames, offs, dcq, dcb,
+        block_scan_start=self.scan_global, reset_every=self.block_samples,
+    )
+    self._gate_drops[0] += int(pre_d) - sk_u - sk_b
+    self._gate_drops[1] += int(unk_d) - sk_u
+    self._gate_drops[2] += int(bad_d) - sk_b
+
+    self.scan_global += valid_len
+
+    now_ms = self.scan_global * 5 // 12000
+    if self.native is not None:
+        self.native.icao_expire(now_ms)
+    else:
+        self.scorer.icao.expire(now_ms)
+    # keep the device bitmap == host filter state for the NEXT superblock
+    mirror.add_from_frames(frames)
+    swap = mirror.expire(now_ms)
+    mirror.flush(swap)
+    return frames
+
+
+Demodulator._demod_mag_gated = _demod_mag_gated
 
 
 def demodulate_file(path: str, fmt: str = "uc8", **kw) -> tuple[list[RawFrame], Demodulator]:
