@@ -286,11 +286,13 @@ class App:
                         addr = int.from_bytes(frame[1:4], "big")
                         now = app.now_ms()
                         a = app.tracker.aircraft.get(addr)
-                        # ignore the first UAT message from a (re)appearing
-                        # aircraft (net_io.c:4357-4366)
+                        # ignore the whole first UAT line from a
+                        # (re)appearing aircraft — the reference returns
+                        # from decodeUatMessage, dropping every frame the
+                        # line synthesized (net_io.c:4357-4366)
                         if a is None or now > a.seen + 300_000:
                             app.tracker.get_or_create(addr, now).seen = now
-                            continue
+                            break
                         app._handle_net_frame(
                             self.scorer,
                             beast_io.BeastFrame(

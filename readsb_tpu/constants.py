@@ -45,10 +45,10 @@ CRC24_POLY = 0xFFF409
 # Timestamp reported at the end of bit 56: (8 preamble us + 56 bit us) * 12 ticks/us
 TIMESTAMP_BIT56_TICKS = (8 + 56) * 12
 
-# Magic timestamps used on the wire (reference: readsb.h)
+# Magic timestamps used on the wire (readsb.h:344-348)
 MAGIC_MLAT_TIMESTAMP = 0xFF004D4C4154  # "\xffMLAT"
-MAGIC_ANY_TIMESTAMP = 0xFF004D4C4155
-MAGIC_NOFORWARD_TIMESTAMP = 0xFF004D4C4156
-MAGIC_UAT_TIMESTAMP = 0xFF004D4C4157
+MAGIC_UAT_TIMESTAMP = 0xFF004D4C4155
+MAGIC_NOFORWARD_TIMESTAMP = 0xFF004D4C4160
+MAGIC_ANY_TIMESTAMP = 0xFFFFFFFFFFFF
 
 HEX_UNKNOWN = 0xEE_EEEE

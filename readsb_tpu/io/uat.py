@@ -30,8 +30,8 @@ SHORT_FRAME_DATA_BYTES = 18
 LONG_FRAME_DATA_BYTES = 34
 
 # 6-byte pseudo-timestamp marking synthetic UAT messages on the raw wire
-# (uat2esnt.c:660 "FF004D4C4155" = 0xFF00 'MLAU')
-MAGIC_UAT_TIMESTAMP = 0xFF004D4C4155
+# (uat2esnt.c:660; == readsb.h:345 MAGIC_UAT_TIMESTAMP)
+from ..constants import MAGIC_UAT_TIMESTAMP  # noqa: E402
 
 _BASE40 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ  .."
 _AIS_CHARSET = "@ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_ !\"#$%&'()*+,-./0123456789:;<=>?"
@@ -494,8 +494,8 @@ def mdb_to_esnt(m: UatMdb, use_tisb: bool = True) -> List[bytes]:
         return []
     if m.address_qualifier in (AQ_TISB_ICAO, AQ_TISB_OTHER) and not use_tisb:
         return []
-    if m.address_qualifier not in (AQ_ADSB_ICAO, AQ_TISB_ICAO, AQ_TISB_OTHER):
-        return []
+    # all other qualifiers (self-assigned, vehicles, beacons) are forwarded
+    # with CF=1/IMF=1 — should_send() returns 1 by default (uat2esnt.c)
     out: List[bytes] = []
     if m.airground_state == AG_GROUND and m.position_valid:
         out += _send_surface_position(m)
@@ -537,8 +537,7 @@ def convert_line(line: bytes) -> tuple[List[bytes], int]:
                     pass
             elif kv.startswith(b"ss="):
                 try:
-                    return_sig = int(kv[3:])
-                    return _convert_hex(hexpart), return_sig
+                    rssi = float(kv[3:])
                 except ValueError:
                     pass
     return _convert_hex(hexpart), signal_byte_from_rssi(rssi)
@@ -551,6 +550,11 @@ def _convert_hex(hexpart: bytes) -> List[bytes]:
         return []
     if len(frame) < SHORT_FRAME_DATA_BYTES:
         return []
+    # the reference decodes into a fixed oversized buffer, so a short
+    # (18-byte) frame whose MDB-type bits claim a long layout reads zero
+    # padding instead of raising; replicate with explicit padding
+    if len(frame) < LONG_FRAME_DATA_BYTES:
+        frame = frame + bytes(LONG_FRAME_DATA_BYTES - len(frame))
     m = decode_adsb_mdb(frame)
     return mdb_to_esnt(m)
 

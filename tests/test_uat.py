@@ -195,9 +195,12 @@ def test_tisb_address_gating():
     m = uat_io.decode_adsb_mdb(make_uat_frame(address_qualifier=uat_io.AQ_TISB_ICAO))
     assert all(f[0] & 7 == 2 for f in uat_io.mdb_to_esnt(m))
     assert uat_io.mdb_to_esnt(m, use_tisb=False) == []
-    # vehicles/beacons use CF=1 and suppress ident
+    # vehicles/beacons ARE forwarded, with CF=1 and IMF=1 (should_send's
+    # default case returns 1; encode_cf default 1 — uat2esnt.c:242-257,701)
     m2 = uat_io.decode_adsb_mdb(make_uat_frame(address_qualifier=uat_io.AQ_VEHICLE))
-    assert uat_io.mdb_to_esnt(m2) == []
+    frames2 = uat_io.mdb_to_esnt(m2)
+    assert frames2, "vehicle/beacon traffic must not be dropped"
+    assert all(f[0] & 7 == 1 for f in frames2)  # CF=1
 
 
 # ---------------------------------------------------------------------------
