@@ -40,6 +40,8 @@ class App:
             json_trace_interval=int(args.json_trace_interval * 1000),
         )
         self.net = NetEngine()
+        self._net_queue = []
+        self._shared_net_scorer = None
         self.epoch_ms = int(time.time() * 1000)
         self.messages = 0
         self.start_time = time.time()
@@ -306,46 +308,76 @@ class App:
         return UatIn
 
     def _net_scorer(self):
-        from ..decode.score import Scorer
+        """All network inputs share one Scorer — the reference's ICAO
+        filter is process-global (icao_filter.c), so frames from one
+        feeder teach addresses that validate frames from every other."""
+        if self._shared_net_scorer is None:
+            from ..decode.score import Scorer
 
-        return Scorer(nfix=self.args.nfix_crc, fix_df=self.args.fix_df)
+            self._shared_net_scorer = Scorer(
+                nfix=self.args.nfix_crc, fix_df=self.args.fix_df
+            )
+        return self._shared_net_scorer
 
     def _handle_net_frame(self, scorer, bf) -> None:
-        """Network-received frame: CRC-check/correct then track."""
+        """Network-received frame: queue for the batched decode drain.
+
+        The reference fans per-frame decode over a threadpool with staged
+        locks (net_io.c:5365-5474); here frames accumulate per tick and
+        the CRC stage runs as ONE vectorized batch (drain_net_queue).
+        """
+        self._net_queue.append(bf)
+        if len(self._net_queue) >= 8192:
+            self.drain_net_queue()
+
+    def drain_net_queue(self) -> None:
+        """Batched CRC + serial accept/track for all queued net frames."""
+        q = self._net_queue
+        if not q:
+            return
+        self._net_queue = []
         import numpy as np
 
         from ..ops import crc as crc_ops
         from ..decode.score import RawFrame
 
-        msg = np.frombuffer(bf.msg, dtype=np.uint8)
-        msg14 = np.zeros(14, dtype=np.uint8)
-        msg14[: len(msg)] = msg
-        syn112 = int(crc_ops.checksum_batch(msg14[None, :], 112)[0])
-        syn56 = int(crc_ops.checksum_batch(msg14[None, :7].copy(), 56)[0]) if True else 0
-        result, info = scorer.decode_accept(msg14, syn112, syn56)
-        if result < 0:
-            return
-        frame = RawFrame(
-            msg=bytes(info["msg"]), msgbits=info["msgbits"],
-            timestamp=bf.timestamp, score=0, phase=0,
-            correctedbits=info["correctedbits"], addr=info["addr"],
-            signal_power=bf.signal_level, iid=info["iid"],
-        )
-        mm = decode_frame(frame, epoch_ms=0)
-        mm.sys_timestamp_ms = bf.synthetic_ms or self.now_ms()
-        mm.remote = True
-        mm.receiver_id = bf.receiver_id
-        # quarantined feeders: divert to the garbage output (net_io.c:3943-3961)
-        if bf.receiver_id and self.tracker.receivers.check_bad(
-            bf.receiver_id, mm.sys_timestamp_ms
-        ):
-            mm.garbage = True
-            if self.out_garbage.clients and len(mm.msg) in (7, 14):
-                self.out_garbage.send(
-                    beast_io.encode_frame(mm.msg, bf.timestamp, bf.signal_level)
-                )
-            return
-        self.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
+        m = len(q)
+        msgs = np.zeros((m, 14), dtype=np.uint8)
+        for i, bf in enumerate(q):
+            b = bf.msg[:14]
+            msgs[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        syn112 = crc_ops.checksum_batch(msgs, 112)
+        syn56 = crc_ops.checksum_batch(np.ascontiguousarray(msgs[:, :7]), 56)
+
+        scorer = self._net_scorer()
+        now_default = self.now_ms()
+        for i, bf in enumerate(q):
+            result, info = scorer.decode_accept(
+                msgs[i], int(syn112[i]), int(syn56[i])
+            )
+            if result < 0:
+                continue
+            frame = RawFrame(
+                msg=bytes(info["msg"]), msgbits=info["msgbits"],
+                timestamp=bf.timestamp, score=0, phase=0,
+                correctedbits=info["correctedbits"], addr=info["addr"],
+                signal_power=bf.signal_level, iid=info["iid"],
+            )
+            mm = decode_frame(frame, epoch_ms=0)
+            mm.sys_timestamp_ms = bf.synthetic_ms or now_default
+            mm.remote = True
+            mm.receiver_id = bf.receiver_id
+            # quarantined feeders: divert to garbage (net_io.c:3943-3961)
+            if bf.receiver_id and self.tracker.receivers.check_bad(
+                bf.receiver_id, mm.sys_timestamp_ms
+            ):
+                mm.garbage = True
+                if self.out_garbage.clients and len(mm.msg) in (7, 14):
+                    self.out_garbage.send(
+                        beast_io.encode_frame(mm.msg, bf.timestamp, bf.signal_level)
+                    )
+                continue
+            self.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
 
     # ------------------------------------------------------------------
 
@@ -359,6 +391,7 @@ class App:
         last_db_check = time.time()
         while True:
             await asyncio.sleep(0.25)
+            self.drain_net_queue()
             now = self.now_ms()
             if self.tracker.db is not None and time.time() - last_db_check >= 30.0:
                 last_db_check = time.time()
@@ -537,6 +570,7 @@ class App:
                 return 1
         finally:
             periodic.cancel()
+            self.drain_net_queue()
             for svc in self.net.outputs.values():
                 svc.flush()
             await self.net.close()
