@@ -53,6 +53,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay received UAT raw lines to clients")
     p.add_argument("--net-vrs-port", type=int, default=0, help="VRS-format json output port")
     p.add_argument("--net-vrs-interval", type=float, default=5.0)
+    p.add_argument("--net-ai-port", type=int, default=0,
+                   help="ASTERIX CAT021 input listen port")
+    p.add_argument("--net-ao-port", type=int, default=0,
+                   help="ASTERIX CAT021 output listen port")
+    p.add_argument("--net-beast-reduce-out-port", type=int, default=0,
+                   help="rate-limited/deduplicated beast output (reduce_forward)")
+    p.add_argument("--net-beast-reduce-interval", type=float, default=0.125,
+                   help="per-aircraft reduce forwarding interval (s)")
+    p.add_argument("--dump-beast-dir", default=None,
+                   help="record the incoming beast message stream (zstd chunks)")
+    p.add_argument("--dump-beast-interval", type=float, default=30.0,
+                   help="seconds per recorded beast chunk file")
     p.add_argument("--net-connector", action="append", default=[],
                    help="host,port,protocol outbound connection")
     p.add_argument("--net-heartbeat", type=float, default=60.0)

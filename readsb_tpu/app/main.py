@@ -53,6 +53,16 @@ class App:
         self.out_garbage = self.net.add_output("garbage_out")
         self.out_uat_replay = self.net.add_output("uat_replay_out")
         self.out_vrs = self.net.add_output("vrs_out")
+        self.out_asterix = self.net.add_output("asterix_out")
+        self.out_beast_reduce = self.net.add_output("beast_reduce_out")
+        self.tracker.reduce_interval_ms = int(args.net_beast_reduce_interval * 1000)
+        self.beast_dump = None
+        if args.dump_beast_dir:
+            from ..io.beastdump import BeastDumper
+
+            self.beast_dump = BeastDumper(
+                args.dump_beast_dir, chunk_seconds=args.dump_beast_interval
+            )
         if args.db_file:
             from ..track.acdb import AircraftDb
 
@@ -87,6 +97,22 @@ class App:
             self.out_json.send(
                 (_json.dumps(json_out.aircraft_dict(self.tracker, a, mm.sys_timestamp_ms)) + "\n").encode()
             )
+        # beast_reduce: only messages the tracker flagged interesting
+        # (reduce_forward decisions, track.c:2076-2326; writer net_io.c)
+        if (
+            self.out_beast_reduce.clients
+            and mm.reduce_forward
+            and len(mm.msg) in (7, 14)
+        ):
+            self.out_beast_reduce.send(
+                beast_io.encode_frame(mm.msg, raw_ts, signal)
+            )
+        if self.out_asterix.clients and mm.addr != constants.HEX_UNKNOWN:
+            from ..io import asterix as asterix_io
+
+            pkt = asterix_io.encode_cat21(mm, now_ms=mm.sys_timestamp_ms)
+            if pkt:
+                self.out_asterix.send(pkt)
 
     def now_ms(self) -> int:
         """Current time for periodic sweeps.  During ifile replay this is
@@ -307,6 +333,84 @@ class App:
 
         return UatIn
 
+    def _sbs_input_factory(self, source=Source.SBS):
+        """SBS/BaseStation CSV input (decodeSbsLine, net_io.c:2952-3183)."""
+        app = self
+
+        class SbsIn(InputConnection):
+            def __init__(self):
+                from ..io.sbs import SbsDeframer
+
+                self.deframer = SbsDeframer()
+
+            async def feed(self, data: bytes) -> None:
+                from ..decode.fields import AirGround
+
+                for sl in self.deframer.feed(data):
+                    mm = ModesMessage(
+                        msgtype=0,
+                        addr=sl.addr & 0xFFFFFF,
+                        source=source,
+                        sys_timestamp_ms=app.now_ms(),
+                    )
+                    mm.remote = True
+                    if sl.callsign:
+                        mm.callsign = sl.callsign
+                        mm.callsign_valid = True
+                    if sl.altitude is not None:
+                        mm.baro_alt = sl.altitude
+                    if sl.gs is not None:
+                        mm.gs_selected = mm.gs_v0 = sl.gs
+                    if sl.track is not None:
+                        from ..decode.fields import HeadingType
+
+                        mm.heading = sl.track
+                        mm.heading_type = HeadingType.GROUND_TRACK
+                    if sl.lat is not None and sl.lon is not None:
+                        mm.sbs_pos_valid = True
+                        mm.decoded_lat = sl.lat
+                        mm.decoded_lon = sl.lon
+                    if sl.vr is not None:
+                        mm.baro_rate = sl.vr
+                    if sl.squawk_dec is not None:
+                        try:
+                            mm.squawk_hex = int(str(sl.squawk_dec), 16)
+                        except ValueError:
+                            pass
+                    if sl.alert is not None:
+                        mm.alert = sl.alert
+                    if sl.spi is not None:
+                        mm.spi = sl.spi
+                    if sl.on_ground is not None:
+                        mm.airground = (
+                            AirGround.GROUND if sl.on_ground else AirGround.AIRBORNE
+                        )
+                    app.handle_message(mm)
+
+        return SbsIn
+
+    def _asterix_input_factory(self):
+        """ASTERIX CAT021 binary input (net_io.c:1922-2415)."""
+        app = self
+
+        class AsterixIn(InputConnection):
+            def __init__(self):
+                from ..io.asterix import AsterixDeframer
+
+                self.deframer = AsterixDeframer()
+
+            async def feed(self, data: bytes) -> None:
+                from ..io.asterix import decode_cat21
+
+                for frame in self.deframer.feed(data):
+                    mm = decode_cat21(frame, now_ms=app.now_ms())
+                    if mm is None:
+                        continue
+                    mm.remote = True
+                    app.handle_message(mm)
+
+        return AsterixIn
+
     def _net_scorer(self):
         """All network inputs share one Scorer — the reference's ICAO
         filter is process-global (icao_filter.c), so frames from one
@@ -326,6 +430,8 @@ class App:
         locks (net_io.c:5365-5474); here frames accumulate per tick and
         the CRC stage runs as ONE vectorized batch (drain_net_queue).
         """
+        if self.beast_dump is not None:
+            self.beast_dump.record(bf, self.now_ms())
         self._net_queue.append(bf)
         if len(self._net_queue) >= 8192:
             self.drain_net_queue()
@@ -389,10 +495,17 @@ class App:
         last_heatmap_slot = -1
         last_vrs = 0.0
         last_db_check = time.time()
+        display = None
+        if args.interactive:
+            from .interactive import InteractiveDisplay
+
+            display = InteractiveDisplay(self.tracker)
         while True:
             await asyncio.sleep(0.25)
             self.drain_net_queue()
             now = self.now_ms()
+            if display is not None:
+                display.refresh(now)
             if self.tracker.db is not None and time.time() - last_db_check >= 30.0:
                 last_db_check = time.time()
                 self.tracker.db_reload()
@@ -486,6 +599,21 @@ class App:
             await self.net.listen_output(self.out_uat_replay, args.net_uat_replay_port)
         if args.net_vrs_port:
             await self.net.listen_output(self.out_vrs, args.net_vrs_port)
+        if args.net_sbs_in_port:
+            await self.net.listen_input(
+                InputService("sbs_in", self._sbs_input_factory()), args.net_sbs_in_port
+            )
+        if args.net_ai_port:
+            await self.net.listen_input(
+                InputService("asterix_in", self._asterix_input_factory()),
+                args.net_ai_port,
+            )
+        if args.net_ao_port:
+            await self.net.listen_output(self.out_asterix, args.net_ao_port)
+        if args.net_beast_reduce_out_port:
+            await self.net.listen_output(
+                self.out_beast_reduce, args.net_beast_reduce_out_port
+            )
         if args.net_api_port:
             from ..io.api import ApiServer
 
@@ -520,8 +648,22 @@ class App:
                 )
             elif proto == "vrs_out":
                 self.net.add_connector(Connector(host, port, output=self.out_vrs))
-            elif proto in ("beast_out", "beast_reduce_out", "beast_reduce_plus_out"):
+            elif proto == "beast_out":
                 self.net.add_connector(Connector(host, port, output=self.out_beast))
+            elif proto in ("beast_reduce_out", "beast_reduce_plus_out"):
+                self.net.add_connector(
+                    Connector(host, port, output=self.out_beast_reduce)
+                )
+            elif proto == "sbs_in":
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._sbs_input_factory())
+                )
+            elif proto == "asterix_in":
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._asterix_input_factory())
+                )
+            elif proto == "asterix_out":
+                self.net.add_connector(Connector(host, port, output=self.out_asterix))
             elif proto == "raw_out":
                 self.net.add_connector(Connector(host, port, output=self.out_raw))
             elif proto == "sbs_out":
@@ -571,6 +713,8 @@ class App:
         finally:
             periodic.cancel()
             self.drain_net_queue()
+            if self.beast_dump is not None:
+                self.beast_dump.close()
             for svc in self.net.outputs.values():
                 svc.flush()
             await self.net.close()

@@ -160,6 +160,7 @@ class Aircraft:
     # identity
     callsign: str = ""
     callsign_valid: Validity = dataclasses.field(default_factory=Validity)
+    next_reduce_forward_pos: int = 0  # beast_reduce rate limiter (track.h)
     squawk: Optional[int] = None  # hex-coded octal
     squawk_valid: Validity = dataclasses.field(default_factory=Validity)
     squawk_tentative: Optional[int] = None
@@ -250,6 +251,7 @@ class Tracker:
     ):
         self.keep_traces = keep_traces
         self.json_trace_interval = json_trace_interval
+        self.reduce_interval_ms = 125  # --net-beast-reduce-interval
         from .receiver import ReceiverStore
 
         self.aircraft: dict[int, Aircraft] = {}
@@ -354,7 +356,12 @@ class Tracker:
         # --- squawk double-confirmation (track.c:2071-2092) ---------------
         if mm.squawk_hex is not None:
             if a.squawk == mm.squawk_hex or a.squawk_tentative == mm.squawk_hex:
+                changed = a.squawk != mm.squawk_hex
                 if self._accept(a, a.squawk_valid, src, now):
+                    # squawk changes always forward (track.c:2076-2077)
+                    if changed:
+                        a.next_reduce_forward_pos = now + self.reduce_interval_ms
+                        mm.reduce_forward = True
                     a.squawk = mm.squawk_hex
                     a.squawk_tentative = None
             else:
@@ -719,6 +726,11 @@ class Tracker:
         mm.cpr_decoded = True
         mm.decoded_lat = lat
         mm.decoded_lon = lon
+        # reduce_forward: accepted positions forward rate-limited per
+        # aircraft (track.c:2244 + currentReduceInterval)
+        if now >= a.next_reduce_forward_pos:
+            a.next_reduce_forward_pos = now + self.reduce_interval_ms
+            mm.reduce_forward = True
         # reliability bump (incrementReliable, track.c:3686)
         inc = 1.0
         if mm.cpr_odd:
