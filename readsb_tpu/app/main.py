@@ -502,6 +502,7 @@ class App:
             display = InteractiveDisplay(self.tracker)
         while True:
             await asyncio.sleep(0.25)
+            self._last_tick = time.time()
             self.drain_net_queue()
             now = self.now_ms()
             if display is not None:
@@ -696,8 +697,48 @@ class App:
             file=sys.stderr,
         )
 
+    def _start_watchdog(self) -> None:
+        """Hang watchdog (readsb.c:2884-2904): a daemon thread that kills
+        the process if the asyncio loop stops ticking for 60 s — a thread
+        catches genuine event-loop hangs that a coroutine cannot."""
+        import threading
+
+        self._last_tick = time.time()
+
+        def watch():
+            while not getattr(self, "_exiting", False):
+                time.sleep(15.0)
+                stall = time.time() - self._last_tick
+                if stall > 60.0 and not getattr(self, "_exiting", False):
+                    log.critical("main loop hung for %.0f s, exiting", stall)
+                    os._exit(1)
+
+        threading.Thread(target=watch, daemon=True).start()
+
+    def _install_signals(self) -> None:
+        """SIGTERM/SIGINT -> ordered shutdown with a final state write
+        (readsb.c:2649, 2917-3011)."""
+        import signal as _signal
+
+        loop = asyncio.get_event_loop()
+
+        def request_exit():
+            if not self._exit_event.is_set():
+                log.info("caught signal, shutting down")
+                self._exit_event.set()
+
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, request_exit)
+            except (NotImplementedError, RuntimeError):
+                pass
+
     async def amain(self) -> int:
+        self._exit_event = asyncio.Event()
+        self._exiting = False
         await self.setup_net()
+        self._install_signals()
+        self._start_watchdog()
         periodic = asyncio.ensure_future(self.run_periodic())
         try:
             if self.args.device_type == "ifile":
@@ -705,14 +746,21 @@ class App:
                 if self.args.net or self.args.net_only:
                     await asyncio.sleep(0.2)  # let outputs flush
             elif self.args.net or self.args.net_only:
-                while True:
-                    await asyncio.sleep(3600)
+                await self._exit_event.wait()
             else:
                 log.error("no source: use --device-type ifile or --net-only")
                 return 1
         finally:
+            # ordered shutdown (readsb.c:2917-3011): stop periodic work,
+            # drain pending decode, final state write, flush, close
+            self._exiting = True
             periodic.cancel()
             self.drain_net_queue()
+            if self.args.write_state:
+                from ..io import state as state_io
+
+                state_io.save_state(self.tracker, self.args.write_state, self.now_ms())
+                log.info("final state written to %s", self.args.write_state)
             if self.beast_dump is not None:
                 self.beast_dump.close()
             for svc in self.net.outputs.values():

@@ -19,14 +19,32 @@ log = logging.getLogger("readsb_tpu.net")
 
 
 class OutputService:
-    """A listen port whose clients all receive the same byte stream."""
+    """A listen port whose clients all receive the same byte stream.
 
-    def __init__(self, name: str, flush_bytes: int = 1200, flush_interval: float = 0.05):
+    Slow-client shedding: a client whose kernel send buffer stays above
+    `max_backlog` bytes for longer than `shed_after` seconds is
+    disconnected — the analog of the reference's latency-based rejection
+    (net_io.c:1345-1465).  Without it one stalled TCP consumer grows the
+    process's buffered output without bound.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        flush_bytes: int = 1200,
+        flush_interval: float = 0.05,
+        max_backlog: int = 4 * 1024 * 1024,
+        shed_after: float = 15.0,
+    ):
         self.name = name
         self.clients: set[asyncio.StreamWriter] = set()
         self._buf = bytearray()
         self.flush_bytes = flush_bytes
         self.flush_interval = flush_interval
+        self.max_backlog = max_backlog
+        self.shed_after = shed_after
+        self._lagging: dict[int, float] = {}  # id(writer) -> since
+        self.clients_shed = 0
         self._flusher: Optional[asyncio.Task] = None
 
     def send(self, data: bytes) -> None:
@@ -36,26 +54,48 @@ class OutputService:
         if len(self._buf) >= self.flush_bytes:
             self.flush()
 
+    def _shed(self, w, reason: str) -> None:
+        import time as _t  # local to keep the hot path import-free
+
+        self.clients.discard(w)
+        self._lagging.pop(id(w), None)
+        self.clients_shed += 1
+        log.warning("%s: shedding client (%s)", self.name, reason)
+        try:
+            w.close()
+        except Exception:
+            pass
+
     def flush(self) -> None:
         if not self._buf:
             return
         data = bytes(self._buf)
         self._buf.clear()
+        import time as _t
+
+        now = _t.time()
         for w in list(self.clients):
             try:
+                transport = getattr(w, "transport", None)
+                backlog = transport.get_write_buffer_size() if transport else 0
+                if backlog > self.max_backlog:
+                    since = self._lagging.setdefault(id(w), now)
+                    if now - since > self.shed_after:
+                        self._shed(w, f"{backlog} bytes backlogged")
+                        continue
+                else:
+                    self._lagging.pop(id(w), None)
                 w.write(data)
             except Exception:
                 self.clients.discard(w)
+                self._lagging.pop(id(w), None)
 
     async def run_flusher(self) -> None:
+        # no per-client drain(): awaiting one slow client would stall the
+        # shared flusher; backlog shedding in flush() handles laggards
         while True:
             await asyncio.sleep(self.flush_interval)
             self.flush()
-            for w in list(self.clients):
-                try:
-                    await w.drain()
-                except Exception:
-                    self.clients.discard(w)
 
     async def handle_client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         self.clients.add(writer)

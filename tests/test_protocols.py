@@ -121,3 +121,45 @@ def test_dump_beast_dir(tmp_path):
     frames = list(beast_io.BeastDeframer().feed(raw))
     assert len(frames) == 5
     assert frames[0].synthetic_ms == 10_000  # 0xE8 prefix survived the trip
+
+
+class LaggyWriter(FakeWriter):
+    """Transport stub reporting a huge kernel backlog."""
+
+    class _T:
+        @staticmethod
+        def get_write_buffer_size():
+            return 1 << 30
+
+    transport = _T()
+
+
+def test_slow_client_shed():
+    from readsb_tpu.io.net import OutputService
+
+    svc = OutputService("t", flush_bytes=1, shed_after=0.0)
+    good, bad = FakeWriter(), LaggyWriter()
+    svc.clients.add(good)
+    svc.clients.add(bad)
+    svc.send(b"x" * 10)
+    svc.send(b"y" * 10)  # second flush: bad exceeds shed_after=0 -> dropped
+    assert bad not in svc.clients
+    assert good in svc.clients
+    assert svc.clients_shed == 1
+
+
+def test_sigterm_writes_state(tmp_path):
+    import signal as _signal
+    import asyncio as _aio
+
+    app = make_app(["--write-state", str(tmp_path)])
+
+    async def run_and_kill():
+        t = _aio.ensure_future(app.amain())
+        await _aio.sleep(0.1)
+        app._exit_event.set()  # what the SIGTERM handler does
+        return await _aio.wait_for(t, 10)
+
+    rc = _aio.new_event_loop().run_until_complete(run_and_kill())
+    assert rc == 0
+    assert list(tmp_path.iterdir()), "ordered shutdown must write final state"
