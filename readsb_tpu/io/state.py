@@ -30,11 +30,46 @@ def _validity_from_list(x: list) -> Validity:
     return Validity(updated=x[0], source=Source(x[1]), last_source=Source(x[2]))
 
 
-_SKIP = {"signal_ring", "trace"}  # trace history persists via its own chunk files
+_SKIP = {"signal_ring", "trace"}  # trace serialized separately (see below)
+
+
+def _trace_to_dict(tr) -> Optional[dict]:
+    """Persist a Trace incl. compressed chunks (globe_index.c:2656-2938
+    keeps trace chunks in the state blobs; restart must not lose them)."""
+    import base64
+
+    if tr is None or (not tr.points and not tr.chunks):
+        return None
+    return {
+        "points": [dataclasses.asdict(s) for s in tr.points],
+        "chunks": [base64.b64encode(c).decode() for c in tr.chunks],
+        "chunk_meta": [list(m) for m in tr.chunk_meta],
+        "len_total": tr.len_total,
+        "next_marker": tr.next_marker,
+    }
+
+
+def _trace_from_dict(d: Optional[dict]):
+    import base64
+
+    from ..track.traces import State, Trace
+
+    if not d:
+        return None
+    tr = Trace()
+    tr.points = [State(**p) for p in d["points"]]
+    tr.chunks = [base64.b64decode(c) for c in d["chunks"]]
+    tr.chunk_meta = [tuple(m) for m in d["chunk_meta"]]
+    tr.len_total = d["len_total"]
+    tr.next_marker = d.get("next_marker", 0)
+    return tr
 
 
 def _aircraft_to_dict(a: Aircraft) -> dict:
     out = {}
+    tr = _trace_to_dict(getattr(a, "trace", None))
+    if tr is not None:
+        out["__trace"] = tr
     for f in dataclasses.fields(a):
         val = getattr(a, f.name)
         if f.name in _SKIP:
@@ -72,6 +107,9 @@ def _aircraft_from_dict(d: dict) -> Aircraft:
             setattr(a, f.name, HeadingType(val))
         else:
             setattr(a, f.name, val)
+    tr = _trace_from_dict(d.get("__trace"))
+    if tr is not None:
+        a.trace = tr
     return a
 
 
