@@ -65,7 +65,13 @@ from readsb_tpu.pipeline import Demodulator  # noqa: E402
 
 
 def run():
+    t_start = time.time()
+
+    def mark(what):
+        print(f"# bench +{time.time()-t_start:.0f}s: {what}", file=sys.stderr, flush=True)
+
     raw, total = build_workload(N_BLOCKS)
+    mark("workload built")
 
     demod = Demodulator(fmt="uc8", blocks_per_batch=N_BLOCKS)
     native = demod.native is not None
@@ -75,45 +81,52 @@ def run():
 
     # --- warmup / compile + capture candidate stats --------------------------
     demod.feed(bytes(raw))
+    mark("pipeline compiled + warm")
 
-    # --- device-only: back-to-back dispatches of the device program ---------
-    from readsb_tpu.ops import demod as demod_ops
+    # --- device-only: back-to-back dispatches of the (already compiled)
+    # device program: Pallas convert + demod + score gate in one jit --------
     from readsb_tpu import pipeline as pl_mod
 
-    thr = jnp.int32(58)
-    dev_fn = jax.jit(
-        lambda raw_u8, overlap, t: demod_ops.demod_block(
-            jnp.concatenate([overlap, pl_mod._to_mag(raw_u8, "uc8")]),
-            t,
-            k=demod.k,
-            scan_len=total,
-            l=demod.compact_l,
-        )
+    mag = pl_mod._to_mag(np.frombuffer(raw, dtype=np.uint8), "uc8")
+    jax.block_until_ready(mag)
+    mirror = demod.icao_mirror
+    dev_args = dict(
+        k=demod.k, scan_len=total, l=demod.compact_l, k2=demod.gate_k2,
+        nfix=demod.nfix, fix_df=demod.fix_df, reset_every=demod.block_samples,
     )
-    raw_j = jnp.asarray(raw)
     overlap0 = jnp.zeros(TRAILING_SAMPLES, jnp.uint16)
-    out = dev_fn(raw_j, overlap0, thr)
+    vl = jnp.int32(total)
+    thr = jnp.int32(58)
+
+    def dev_call():
+        return pl_mod._demod_and_gate(
+            mag, overlap0, vl, thr, mirror.bm_cur, mirror.bm_prev, **dev_args
+        )
+
+    out = dev_call()
     jax.block_until_ready(out)
-    true_cand = int(out.n_cand)
+    true_cand = int(out[0].n_cand)
 
     reps = 10
     best_dev = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = dev_fn(raw_j, overlap0, thr)
+            out = dev_call()
         jax.block_until_ready(out)
         best_dev = min(best_dev, (time.perf_counter() - t0) / reps)
     dev_msps = total / best_dev / 1e6
+    mark(f"device metric done ({dev_msps:.0f} MS/s)")
 
     # --- end-to-end: stream superblocks through the full pipeline -----------
-    e2e_reps = 5
+    e2e_reps = 2
     t0 = time.perf_counter()
     nframes = 0
     for _ in range(e2e_reps):
         nframes += len(demod.feed(bytes(raw)))
     dt = time.perf_counter() - t0
     e2e_msps = total * e2e_reps / dt / 1e6
+    mark("e2e done")
 
     print(
         json.dumps(
