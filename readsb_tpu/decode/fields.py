@@ -258,6 +258,9 @@ class ModesMessage:
     remote: bool = False
     garbage: bool = False
     duplicate: bool = False
+    duplicate_checked: bool = False
+    pos_ignore: bool = False
+    in_disc_cache: bool = False
     reduce_forward: bool = False
 
     # decoded fields (None = not present)

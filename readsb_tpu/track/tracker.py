@@ -124,6 +124,17 @@ class Aircraft:
     cpr_odd: CprPair = dataclasses.field(default_factory=CprPair)
     cpr_even: CprPair = dataclasses.field(default_factory=CprPair)
     gs_last_pos: float = 0.0
+    # duplicate / discard caches + unreliability counters (track.h:96-97,580-581)
+    prev_lat: float = 0.0
+    prev_lon: float = 0.0
+    prev_pos_time: int = 0
+    cpr_cache: list = dataclasses.field(default_factory=list)  # [ts, clat, clon, rid] x4
+    cpr_cache_index: int = 0
+    disc_cache: list = dataclasses.field(default_factory=list)
+    disc_cache_index: int = 0
+    speed_unreliable: int = 0
+    track_unreliable: int = 0
+    last_override_ts: int = 0
 
     # core kinematics
     baro_alt: Optional[int] = None
@@ -564,6 +575,9 @@ class Tracker:
     # -- CPR position pipeline (track.c:1249-1385, 746-967) ---------------
 
     def _update_position(self, a: Aircraft, mm: ModesMessage, now: int) -> None:
+        # network duplicate: same raw CPR from another feeder (track.c:2305)
+        if mm.cpr_valid and mm.remote:
+            self._cpr_duplicate_check(a, mm, now)
         pair = a.cpr_odd if mm.cpr_odd else a.cpr_even
         pair.lat = mm.cpr_lat
         pair.lon = mm.cpr_lon
@@ -605,12 +619,18 @@ class Tracker:
         lat, lon = result
 
         if not self._speed_check(a, mm, lat, lon, now):
-            # implausible: decrement reliability (track.c position_bad)
-            if mm.cpr_odd:
-                a.pos_reliable_odd = max(0.0, a.pos_reliable_odd - 1.0)
-            else:
-                a.pos_reliable_even = max(0.0, a.pos_reliable_even - 1.0)
+            # implausible: decrement reliability unless rate-limited or
+            # ignorable (track.c:2631-2639 gating around position_bad)
+            if not (
+                mm.source < a.position_valid.source
+                or mm.in_disc_cache
+                or mm.garbage
+                or mm.pos_ignore
+            ):
+                self._position_bad(a, mm, now)
             return
+        if mm.pos_ignore or mm.duplicate:
+            return  # counted, but the position itself is not used
 
         self._set_position(a, mm, lat, lon, now, used_global)
 
@@ -671,51 +691,269 @@ class Tracker:
             return a.lat, a.lon
         return None, None
 
-    def _speed_check(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int) -> bool:
-        """Plausibility of the new position vs the old one (track.c:423-736),
-        including the per-feeder extent bookkeeping (track.c:628-656)."""
-        source = mm.source
-        if self.json_reliable == -1 or source == Source.PRIO:
-            return True
-        if not (-90 <= lat <= 90) or not (-180 <= lon <= 180):
+    # -- duplicate / discard caches (track.c:312-421) -----------------------
+
+    def _duplicate_check(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int) -> bool:
+        """duplicate_check (track.c:350-377)."""
+        if getattr(mm, "duplicate_checked", False) or mm.duplicate:
+            return mm.duplicate
+        mm.duplicate_checked = True
+        if now > a.seen_pos + 2 * SECONDS:
             return False
-        if abs(lat) < 0.01 and abs(lon) < 0.01:
-            return False  # null island
-
-        # per-feeder receiver extent accounting (no user location only)
-        if self.receiver_lat is None and mm.receiver_id:
-            from .receiver import RANGE_BAD
-
-            st = self.receivers.position_received(a, mm, lat, lon, now)
-            if st == RANGE_BAD:
-                self.receivers.bad(mm.receiver_id, a.addr, now)
-                return False
-
-        if not a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) or not a.seen_pos:
+        if a.lat == lat and a.lon == lon:
+            mm.duplicate = True
             return True
-        elapsed = max(0, now - a.seen_pos)
-        if elapsed > 45 * SECONDS and source <= Source.MLAT:
+        if now > a.prev_pos_time + 2 * SECONDS:
+            return False
+        if a.prev_lat == lat and a.prev_lon == lon:
+            mm.duplicate = True
             return True
-        # plausible speed budget in knots
+        return False
+
+    def _cpr_duplicate_check(self, a: Aircraft, mm: ModesMessage, now: int) -> bool:
+        """cpr_duplicate_check (track.c:312-349): same raw CPR from a
+        *different* receiver within 2 s is a network duplicate."""
+        for ts, clat, clon, rid in a.cpr_cache:
+            if (
+                now - ts < 2 * SECONDS
+                and clat == mm.cpr_lat
+                and clon == mm.cpr_lon
+                and rid != mm.receiver_id
+            ):
+                mm.duplicate = True
+                return True
+        entry = [now, mm.cpr_lat, mm.cpr_lon, mm.receiver_id]
+        if len(a.cpr_cache) < 4:
+            a.cpr_cache.append(entry)
+        else:
+            a.cpr_cache_index = (a.cpr_cache_index + 1) % 4
+            a.cpr_cache[a.cpr_cache_index] = entry
+        return False
+
+    def _in_disc_cache(self, a: Aircraft, mm: ModesMessage, now: int) -> bool:
+        """inDiscCache (track.c:390-421): rate-limit reliability hits."""
+        for ts, clat, clon, rid in a.disc_cache:
+            if (now - ts < 4 * SECONDS and clat == mm.cpr_lat and clon == mm.cpr_lon) or (
+                now - ts < 300 and rid == mm.receiver_id
+            ):
+                return True
+        return False
+
+    def _position_bad(self, a: Aircraft, mm: ModesMessage, now: int) -> None:
+        """position_bad (track.c:3726-3763)."""
+        if mm.cpr_valid:
+            entry = [now, mm.cpr_lat, mm.cpr_lon, mm.receiver_id]
+            if len(a.disc_cache) < 4:
+                a.disc_cache.append(entry)
+            else:
+                a.disc_cache_index = (a.disc_cache_index + 1) % 4
+                a.disc_cache[a.disc_cache_index] = entry
+        a.pos_reliable_odd -= 0.26
+        a.pos_reliable_even -= 0.26
+        if a.pos_reliable_odd < 0.1 or a.pos_reliable_even < 0.1:
+            a.pos_reliable_odd = 0.0
+            a.pos_reliable_even = 0.0
+            # invalidate CPRs to start fresh; re-accept the one just seen
+            a.cpr_even.valid.source = Source.INVALID
+            a.cpr_odd.valid.source = Source.INVALID
+            if mm.cpr_valid:
+                pair = a.cpr_odd if mm.cpr_odd else a.cpr_even
+                pair.lat = mm.cpr_lat
+                pair.lon = mm.cpr_lon
+                pair.type = mm.cpr_type
+                self._accept(a, pair.valid, mm.source, now)
+
+    def _speed_check(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int) -> bool:
+        """speed_check (track.c:423-736), faithful port minus debug output.
+
+        Sets mm.pos_ignore / mm.duplicate side effects exactly like the
+        reference; returns the in-range verdict (with overrides applied).
+        """
+        source = mm.source
+        elapsed = a.position_valid.age(now)
+        receiver_range_exceeded = False
+
+        if self._duplicate_check(a, mm, lat, lon, now):
+            # duplicates count toward receiver heuristics but nothing else
+            mm.pos_ignore = True
+            if self.receiver_lat is None and mm.receiver_id:
+                self.receivers.position_received(a, mm, lat, lon, now)
+            return True
+
+        if mm.cpr_valid and self._in_disc_cache(a, mm, now):
+            mm.in_disc_cache = True
+
+        surface = (
+            a.airground_valid.valid(now)
+            and a.airground == AirGround.GROUND
+            and a.pos_surface
+            and (not mm.cpr_valid or mm.cpr_type == CprType.SURFACE)
+        )
+
+        override = False
+        bogus = not (-90 <= lat <= 90) or not (-180 <= lon <= 180) or (
+            abs(lat) < 0.01 and abs(lon) < 0.01
+        )
+        if self.json_reliable == -1 or source == Source.PRIO:
+            override = True
+        elif bogus or (mm.cpr_valid and mm.cpr_lat == 0 and mm.cpr_lon == 0) or (
+            mm.cpr_valid
+            and (mm.cpr_lat == 0 or mm.cpr_lon == 0)
+            and (a.position_valid.source < Source.TISB or not self.pos_reliable(a))
+        ):
+            mm.pos_ignore = True
+        elif a.pos_reliable_odd < 0.01 or a.pos_reliable_even < 0.01:
+            override = True
+        elif now - a.position_valid.updated > POS_RELIABLE_TIMEOUT:
+            override = True
+        elif (
+            source > a.position_valid.source
+            and source > a.position_valid.last_source
+        ):
+            override = True
+        elif source > a.position_valid.source and a.position_valid.source == Source.INDIRECT:
+            override = True
+        elif source <= Source.MLAT and elapsed > 45 * SECONDS:
+            override = True
+
+        if getattr(mm, "in_disc_cache", False):
+            override = False
+
+        # speed estimate (knots)
+        speed = -1.0
         if a.gs_valid.valid(now):
-            speed = max(a.gs or 0.0, a.gs_last_pos)
+            speed = max(a.gs_last_pos, a.gs or 0.0)
             speed += 3 * a.gs_valid.age(now) / 1000.0 + 3 * a.position_valid.age(now) / 1000.0
         elif a.tas_valid.valid(now):
             speed = (a.tas or 0) * 4 / 3
         elif a.ias_valid.valid(now):
             speed = (a.ias or 0) * 2
+        transmitted_speed = speed
+
+        old_lat, old_lon = a.lat, a.lon
+        distance = greatcircle(old_lat or 0.0, old_lon or 0.0, lat, lon)
+        if not a.seen_pos:
+            distance = 0.0
+
+        track_max_age = 5 * SECONDS
+        track = -1.0
+        track_age = -1
+        if a.track_valid.age(now) < track_max_age and a.track is not None:
+            track = a.track
+            track_age = a.track_valid.age(now)
+        elif a.true_heading_valid.age(now) < track_max_age and a.true_heading is not None:
+            track = a.true_heading
+            track_age = a.true_heading_valid.age(now)
+
+        track_diff = -1.0
+        if distance > 2.5:
+            calc_track = bearing(old_lat or 0.0, old_lon or 0.0, lat, lon)
+            if (
+                source != Source.MLAT
+                and track > -1
+                and a.position_valid.age(now) < 7 * SECONDS
+            ):
+                d = abs((track - calc_track + 180.0) % 360.0 - 180.0)
+                track_diff = d
+
+        mm_track_unreliable = 0
+        if track_diff > 70.0 and speed > 10:
+            mm_track_unreliable = 1
+        elif track_diff > -1:
+            mm_track_unreliable = -1
+
+        if not self.pos_reliable(a):
+            track_diff = -1.0
+
+        if speed < 0 or a.speed_unreliable > 8:
+            speed = 120.0 if surface else 900.0
+
+        rng = -1.0
+        if speed > 10 and track_diff > -1 and a.track_unreliable < 8:
+            track_bonus = speed * (90.0 - track_diff) / 90.0
+            track_bonus *= (0.9 if surface else 1.0) * (1.0 - track_age / track_max_age)
+            if (a.gs or 0.0) < 10:
+                track_bonus = max(0.0, track_bonus)
+                speed += 2
+            speed += track_bonus
+            if track_diff > 160:
+                mm.pos_ignore = True  # pos_old: don't decrement reliability
+            if speed > 40 and track_diff < 10:
+                rng += 2e3
         else:
-            speed = a.airground == AirGround.GROUND and 100 or 700
-        speed = max(speed, 100)
-        # margin: 50% + fixed 500m (mirrors the reference's allowances)
-        max_dist = 1852.0 * speed / 3600.0 * (elapsed / 1000.0) * 1.5 + 500
-        dist = greatcircle(a.lat, a.lon, lat, lon)
-        return dist <= max_dist
+            speed = speed * 1.3
+
+        rng += 10 if surface else 30
+        if elapsed < 2 and a.receiver_id == mm.receiver_id and source > Source.MLAT:
+            rng += 500  # same TCP packet, same feeder
+        speed = min(speed, 2000.0)
+        if source == Source.MLAT:
+            speed = speed * 1.4 + 50
+            rng += 250
+
+        mm_speed_unreliable = 0
+        kt2ms = 1852.0 / 3600.0
+        if transmitted_speed < 0:
+            mm_speed_unreliable = -1
+        elif distance > 2.5 and (track_diff < 70 or track_diff == -1):
+            if distance <= rng + (elapsed + 50.0) / 1000.0 * transmitted_speed * kt2ms:
+                mm_speed_unreliable = -1
+            elif distance > rng + (elapsed + 400.0) / 1000.0 * transmitted_speed * kt2ms:
+                mm_speed_unreliable = 1
+
+        rng += (elapsed + 200.0) / 1000.0 * speed * kt2ms
+        inrange = distance <= rng
+
+        # no going backwards against good track info across feeders
+        if (
+            not surface
+            and (a.gs or 0.0) > 10
+            and track_diff > 135
+            and elapsed < 2 * SECONDS
+            and a.track_valid.age(now) < 2 * SECONDS
+            and a.receiver_id != mm.receiver_id
+        ):
+            inrange = False
+
+        if self.receiver_lat is None and mm.receiver_id and (inrange or override):
+            from .receiver import RANGE_BAD
+
+            st = self.receivers.position_received(a, mm, lat, lon, now)
+            if st == RANGE_BAD:
+                receiver_range_exceeded = True
+                self.receivers.bad(mm.receiver_id, a.addr, now)
+
+        if not mm.pos_ignore:
+            # unreliability counters fold in via trackUpdateFromMessage's
+            # tail (track.c:2631-2639)
+            a.speed_unreliable = max(0, min(16, a.speed_unreliable + mm_speed_unreliable))
+            a.track_unreliable = max(0, min(16, a.track_unreliable + mm_track_unreliable))
+
+        if override:
+            if not inrange:
+                a.last_override_ts = now
+            inrange = True
+        if receiver_range_exceeded:
+            inrange = False
+            mm.pos_ignore = True
+        return inrange
 
     def _set_position(self, a: Aircraft, mm: ModesMessage, lat: float, lon: float, now: int, from_global: bool) -> None:
+        # same position again from an inferior source within 10 min and
+        # < 20 m traveled: delayed data, treat as duplicate (track.c:974-980)
+        if (
+            a.seen_pos
+            and now < a.seen_pos + 10 * MINUTES
+            and mm.source < a.position_valid.last_source
+            and greatcircle(a.lat, a.lon, lat, lon) < 20
+        ):
+            mm.duplicate = True
+            mm.pos_ignore = True
+            return
         if not self._accept(a, a.position_valid, mm.source, now):
             return
         prev_seen_pos = a.seen_pos
+        a.prev_lat, a.prev_lon, a.prev_pos_time = a.lat or 0.0, a.lon or 0.0, a.seen_pos
         a.lat = lat
         a.lon = lon
         a.seen_pos = now

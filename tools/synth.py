@@ -348,8 +348,14 @@ def build_standard_capture(duration_s: float = 2.0, n_aircraft: int = 6, seed: i
         k = 0
         while t < duration_s - 0.01:
             kind = k % 5
-            lat = lat0 + 0.0012 * gs * math.cos(math.radians(trk)) * t / 3600
-            lon = lon0 + 0.0012 * gs * math.sin(math.radians(trk)) * t / 3600
+            # real kinematics: gs kt -> m/s -> degrees (111.32 km/deg);
+            # consecutive positions must move beyond CPR resolution (~5 m)
+            # or the tracker's duplicate_check rightly flags them
+            mps = gs * 0.514444
+            lat = lat0 + mps * math.cos(math.radians(trk)) * t / 111320.0
+            lon = lon0 + mps * math.sin(math.radians(trk)) * t / (
+                111320.0 * math.cos(math.radians(lat0))
+            )
             if kind == 0:
                 msg = encode_df11(addr)
             elif kind in (1, 3):
