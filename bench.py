@@ -9,16 +9,25 @@ single CPU core (BASELINE.md); vs_baseline is therefore the "x realtime"
 factor per chip.  North star: >= 1000x (2.4 G samples/s/chip).
 
 The workload is realistic: Gaussian noise at a typical SDR noise floor plus
-embedded ADS-B traffic, pre-rendered as UC8 IQ bytes.  Two measurements:
+embedded ADS-B traffic, pre-rendered as UC8 IQ bytes.  Measurements:
 
   device  — the jitted device program alone (UC8 bytes -> magnitudes
             (Pallas kernel) -> dense preamble correlations -> two-level
-            candidate compaction -> 5-phase slicing -> CRC syndromes),
-            back-to-back dispatches.  This is the headline metric.
+            candidate compaction -> 5-phase slicing -> CRC syndromes ->
+            score gate), back-to-back dispatches.  This is the headline
+            metric, printed IMMEDIATELY when measured (round-2 lesson:
+            the driver's wall clock is unforgiving; everything after the
+            JSON line is best-effort extra).
   e2e     — full streaming pipeline: device program + candidate transfer
             to host + native (C++) finalizer producing scored frames.
             Through the axon tunnel the transfer dominates; on directly
             attached hardware e2e approaches the device number.
+
+Compile-time rule (round-3 lesson): the cold remote compile through the
+axon relay takes ~2 minutes — more than the driver budget.  bench.py
+therefore enables the JAX persistent compilation cache in-repo
+(.jax_cache/, committed) so the driver run deserializes the executable
+instead of recompiling.
 
 Axon-relay measurement rule (discovered round 2, see PROGRESS notes):
 jax.block_until_ready() is a NO-OP until the process performs its first
@@ -30,20 +39,30 @@ this; we amortize it with large superblocks).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
-from readsb_tpu.constants import BLOCK_SAMPLES, TRAILING_SAMPLES  # noqa: E402
+T_START = time.time()
+# Best-effort wall budget for the *extras* (everything after the JSON
+# headline).  The headline itself is never cut short.
+EXTRAS_DEADLINE_S = float(os.environ.get("BENCH_EXTRAS_DEADLINE", "210"))
 
 N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 
+def mark(what):
+    print(f"# bench +{time.time()-T_START:.0f}s: {what}", file=sys.stderr, flush=True)
+
+
 def build_workload(n_blocks: int, seed: int = 3):
     """UC8 IQ bytes for n_blocks demod blocks with realistic traffic."""
+    from readsb_tpu.constants import BLOCK_SAMPLES
     from tools.synth import build_standard_capture
 
     total = n_blocks * BLOCK_SAMPLES
@@ -58,17 +77,24 @@ def build_workload(n_blocks: int, seed: int = 3):
     return raw, total
 
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-from readsb_tpu.pipeline import Demodulator  # noqa: E402
-
-
 def run():
-    t_start = time.time()
+    import jax
 
-    def mark(what):
-        print(f"# bench +{time.time()-t_start:.0f}s: {what}", file=sys.stderr, flush=True)
+    # persistent executable cache: the driver's cold run must not pay the
+    # ~2-minute remote compile (see module docstring)
+    cache_dir = os.path.join(_REPO, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        mark(f"compilation cache unavailable: {e}")
+
+    import jax.numpy as jnp
+
+    from readsb_tpu.constants import TRAILING_SAMPLES
+    from readsb_tpu import pipeline as pl_mod
+    from readsb_tpu.pipeline import Demodulator
 
     raw, total = build_workload(N_BLOCKS)
     mark("workload built")
@@ -78,14 +104,11 @@ def run():
 
     # poison: make all subsequent timings honest (see module docstring)
     _ = float(jnp.sum(jnp.zeros(8, jnp.float32)))
+    mark("device attached")
 
-    # --- warmup / compile + capture candidate stats --------------------------
+    # --- device program: compile once via the streaming pipeline ------------
     demod.feed(bytes(raw))
     mark("pipeline compiled + warm")
-
-    # --- device-only: back-to-back dispatches of the (already compiled)
-    # device program: Pallas convert + demod + score gate in one jit --------
-    from readsb_tpu import pipeline as pl_mod
 
     mag = pl_mod._to_mag(np.frombuffer(raw, dtype=np.uint8), "uc8")
     jax.block_until_ready(mag)
@@ -100,7 +123,7 @@ def run():
 
     def dev_call():
         return pl_mod._demod_and_gate(
-            mag, overlap0, vl, thr, mirror.bm_cur, mirror.bm_prev, **dev_args
+            mag, overlap0, vl, thr, mirror.tbl, **dev_args
         )
 
     out = dev_call()
@@ -116,18 +139,8 @@ def run():
         jax.block_until_ready(out)
         best_dev = min(best_dev, (time.perf_counter() - t0) / reps)
     dev_msps = total / best_dev / 1e6
-    mark(f"device metric done ({dev_msps:.0f} MS/s)")
 
-    # --- end-to-end: stream superblocks through the full pipeline -----------
-    e2e_reps = 2
-    t0 = time.perf_counter()
-    nframes = 0
-    for _ in range(e2e_reps):
-        nframes += len(demod.feed(bytes(raw)))
-    dt = time.perf_counter() - t0
-    e2e_msps = total * e2e_reps / dt / 1e6
-    mark("e2e done")
-
+    # ---- HEADLINE: print the moment it exists; extras follow ----------------
     print(
         json.dumps(
             {
@@ -136,15 +149,30 @@ def run():
                 "unit": "Msamples/s",
                 "vs_baseline": round(dev_msps / 2.4, 1),
             }
+        ),
+        flush=True,
+    )
+    mark(
+        f"device metric done: blocks={N_BLOCKS} best={best_dev*1e3:.1f}ms"
+        f" -> {dev_msps:.0f} MS/s | candidates={true_cand}"
+        f" (k={demod.k}, l={demod.compact_l}) | {jax.devices()[0]}"
+    )
+
+    # --- extras (best-effort within the wall budget) ------------------------
+    if time.time() - T_START < EXTRAS_DEADLINE_S:
+        e2e_reps = 2
+        t0 = time.perf_counter()
+        nframes = 0
+        for _ in range(e2e_reps):
+            nframes += len(demod.feed(bytes(raw)))
+        dt = time.perf_counter() - t0
+        e2e_msps = total * e2e_reps / dt / 1e6
+        mark(
+            f"e2e(native={native}): {e2e_msps:.0f} MS/s, {nframes} frames"
+            " (relay-transfer-bound here; PCIe hosts approach the device rate)"
         )
-    )
-    print(
-        f"# device: blocks={N_BLOCKS} best={best_dev*1e3:.1f}ms -> {dev_msps:.0f} MS/s"
-        f" | e2e(native={native}): {e2e_msps:.0f} MS/s, {nframes} frames"
-        f" | candidates={true_cand} (k={demod.k}, l={demod.compact_l})"
-        f" | {jax.devices()[0]}",
-        file=sys.stderr,
-    )
+    else:
+        mark("skipping e2e extras (wall budget)")
 
 
 run()

@@ -151,6 +151,57 @@ def _combined_matrix() -> np.ndarray:
     return out
 
 
+# Candidate "win rows": per 256-sample block v, one 128-lane int32 row
+# holding everything any candidate in that block needs —
+#   lanes  0..94   five slicer sign planes x 19 packed words
+#                  (words 8v..8v+18; a 574-bit reach covers offset&255 in
+#                  [0,256) plus the 320-sample slicer window)
+#   lanes 95..118  three correlation-lane bitplanes x 8 packed words
+#   lanes 119..127 zero padding
+# Stage 4 then needs exactly ONE dynamic gather (whole rows, the layout
+# TPUs stream well) instead of per-candidate scalar word gathers, which
+# are latency-bound on TPU (~0.27 us/candidate, the round-2 hot spot).
+WIN_PLANE_WORDS = 19
+WIN_CORR_BASE = 95
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_plan():
+    """Static pick schedule + permuted matmul matrix for stage 4/5.
+
+    After a candidate's win row is word-rotated and bit-shifted by
+    (offset & 255), every slicer bit lives at a STATIC (plane, word,
+    bitshift) position.  Bits are emitted grouped by (plane, word) —
+    a pure broadcast-shift per group, no gather — in a permuted column
+    order, and the permutation is folded into the combined CRC/byte-pack
+    matrix so the matmul outputs are unchanged.
+
+    Returns (plan, m) where plan = [(plane, word_j, shifts int32[g])...]
+    in emission order and m = f32[560, 310] with column block
+    p*62:(p+1)*62 equal to _combined_matrix rows for phase p's bits.
+    """
+    aoff, kid = lattice_tables()
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for p in range(NUM_PHASES):
+        for b in range(MODES_LONG_MSG_BITS):
+            pl_ = int(kid[p, b])
+            j = int(aoff[p, b]) >> 5
+            r = int(aoff[p, b]) & 31
+            groups.setdefault((pl_, j), []).append((r, p * MODES_LONG_MSG_BITS + b))
+    plan = []
+    perm = []
+    for key in sorted(groups):
+        items = groups[key]
+        plan.append((key[0], key[1], np.array([r for r, _ in items], np.int32)))
+        perm.extend(c for _, c in items)
+    comb = _combined_matrix()  # (112, 62)
+    m = np.zeros((NUM_PHASES * MODES_LONG_MSG_BITS, NUM_PHASES * 62), np.float32)
+    for row, col in enumerate(perm):
+        p, b = divmod(col, MODES_LONG_MSG_BITS)
+        m[row, p * 62 : (p + 1) * 62] = comb[b]
+    return plan, m
+
+
 def _dense_stages_jnp(buf: jax.Array, threshold: jax.Array | int):
     """Pure-jnp dense scan (CPU parity path; the TPU path is the fused
     Pallas kernel in ops.pallas_kernels — bit-identical, see
@@ -313,6 +364,179 @@ def _pack_plane_words(planes: jax.Array) -> jax.Array:
     return jnp.sum(shifted, axis=-1)  # exact: disjoint bits
 
 
+def window_sums(offsets, cs_hi, cs_lo):
+    """Exact split hi/lo mag^2 sums over the long/short message bodies.
+
+    Returns (sig_long, sig_short) int32[K, 2] from the dense stage's
+    wraparound-exact prefix sums (demod_2400.c:436-457 accounting).
+    """
+
+    def wsum(a, b):
+        # sum over samples [offset+a, offset+b) per candidate (a >= 1)
+        ia = offsets + (a - 1)
+        ib = offsets + (b - 1)
+        return jnp.stack([cs_hi[ib] - cs_hi[ia], cs_lo[ib] - cs_lo[ia]], axis=-1)
+
+    return wsum(19, 19 + SIG_LONG), wsum(19, 19 + SIG_SHORT)
+
+
+def _demod_core(
+    buf: jax.Array,
+    threshold: jax.Array | int,
+    *,
+    k: int,
+    scan_len: int,
+    l: int,
+    seg_stride: int | None = None,
+    seg_valid: int | None = None,
+):
+    """Stages 1-5 of the demodulator (everything except signal power).
+
+    Returns (BlockCandidates with zeroed sig fields, cs_hi, cs_lo); the
+    callers attach signal sums where they need them — demod_block for all
+    K candidates (CPU parity path), the score gate only for kept rows.
+
+    seg_stride/seg_valid (static): channel-batched layout.  The buffer is
+    C concatenated channel segments of seg_stride samples, each laid out
+    [326-sample carried overlap][seg_valid samples][>=186 zero samples];
+    scan positions with (offset % seg_stride) >= seg_valid are masked off
+    so no candidate window ever crosses a channel seam.  Candidate
+    offsets stay global (channel = offset // seg_stride).  This is the
+    second, embarrassingly parallel batch axis (SURVEY 2.5): one compiled
+    program demodulates all virtual receiver channels per dispatch.
+    """
+    assert buf.shape[0] >= scan_len + SLICE_WINDOW
+    if seg_stride is not None:
+        assert seg_valid is not None and seg_stride >= seg_valid + TRAILING_SAMPLES
+        assert scan_len % seg_stride == 0
+
+    # --- stages 1/2/6a: dense scan (fused Pallas kernel on TPU) -------------
+    from . import pallas_kernels
+
+    if pallas_kernels.supported():
+        tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
+        padded = ((buf.shape[0] + tile - 1) // tile) * tile
+        bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
+        corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_pallas(
+            bufp, threshold
+        )
+    else:
+        corrbits, pwords, cs_hi, cs_lo = _dense_stages_jnp(buf, threshold)
+
+    cbits = corrbits[:scan_len]
+    cand = (cbits & 8) != 0
+    if seg_stride is not None:
+        pos = jnp.arange(scan_len, dtype=jnp.int32)
+        cand = cand & ((pos % seg_stride) < seg_valid)
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+
+    # --- stage 3: two-level compaction (no big scatter) ----------------------
+    # TPU scatter over the 2M-sample mask costs ~10 ms; instead compact
+    # hierarchically: per 256-sample block, rank candidates with an
+    # exclusive-prefix triangular matmul (exact in f32: counts < 2^24),
+    # select per-block candidate offsets with a one-hot contraction, then
+    # map global rank -> block via a tiny scatter + cummax.
+    offsets, max_local = _compact_two_level(cand, k, l, scan_len)
+    offsets = jax.lax.optimization_barrier(offsets)
+
+    # --- stage 4a: build win rows (dense reshapes, no gather) ---------------
+    nv = (scan_len + 255) // 256
+    need = 8 * nv + WIN_PLANE_WORDS
+    nw = pwords.shape[1]
+    pw = jnp.pad(pwords, ((0, 0), (0, need - nw))) if nw < need else pwords
+    a = pw[:, : 8 * nv].reshape(5, nv, 8)
+    b = pw[:, 8 : 8 * nv + 8].reshape(5, nv, 8)
+    c3 = pw[:, 16 : 8 * nv + 16].reshape(5, nv, 8)[..., :3]
+    wp = jnp.concatenate([a, b, c3], axis=-1)  # (5, nv, 19)
+    wp = jnp.transpose(wp, (1, 0, 2)).reshape(nv, 5 * WIN_PLANE_WORDS)
+
+    clen = 256 * nv
+    cpad = corrbits
+    if cpad.shape[0] < clen:
+        cpad = jnp.pad(cpad, (0, clen - cpad.shape[0]))
+    cpad = cpad[:clen].astype(jnp.int32)
+    cpl = jnp.stack([((cpad >> i) & 1) != 0 for i in range(3)])  # (3, clen)
+    cw = _pack_plane_words(cpl).reshape(3, nv, 8)
+    cw3 = jnp.transpose(cw, (1, 0, 2)).reshape(nv, 24)
+
+    win = jnp.concatenate(
+        [wp, cw3, jnp.zeros((nv, 128 - WIN_CORR_BASE - 24), jnp.int32)], axis=1
+    )  # (nv, 128)
+    win = jax.lax.optimization_barrier(win)
+
+    # --- stage 4b: ONE row gather + static extraction ------------------------
+    v_idx = jnp.clip(offsets >> 8, 0, nv - 1)
+    rows = win[v_idx]  # (K, 128) — whole-row gather, the TPU-friendly shape
+    rows = jax.lax.optimization_barrier(rows)
+    s = offsets & 255
+    wrot = s >> 5  # 0..7: word rotation within the 19-word windows
+    sb = s & 31  # residual bit shift
+
+    # align each candidate's window: sw[k, p, j] = plane bits
+    # [off + 32j, off + 32j + 32) of plane p, j = 0..10
+    sw_pre = jnp.zeros((k, 5, 12), jnp.int32)
+    for r in range(8):
+        sl = jnp.stack(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )  # static slices only
+        sw_pre = jnp.where((wrot == r)[:, None, None], sl, sw_pre)
+    sbb = sb[:, None, None]
+    shl_amt = (32 - sbb) & 31
+    hi_part = jnp.where(sbb == 0, 0, jnp.left_shift(sw_pre[:, :, 1:12], shl_amt))
+    sw = jax.lax.shift_right_logical(sw_pre[:, :, :11], sbb) | hi_part
+    sw = jax.lax.optimization_barrier(sw)
+
+    # static bit picks, grouped by (plane, word): broadcast shifts, no gather
+    plan, m_np = _extract_plan()
+    parts = []
+    for pl_, j, shifts in plan:
+        w = sw[:, pl_, j][:, None]
+        parts.append(
+            jax.lax.shift_right_logical(w, jnp.asarray(shifts)[None, :]) & 1
+        )
+    bits = jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)  # (K, 560)
+    bits = jax.lax.optimization_barrier(bits)
+
+    # --- stage 5: syndromes + byte packing as one MXU matmul ----------------
+    # (column permutation from the grouped emission is folded into m_np)
+    out = jax.lax.dot(
+        bits, jnp.asarray(m_np, dtype=jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # exact integers < 256
+    outi = out.astype(jnp.int32).reshape(k, NUM_PHASES, 62)
+    parity112 = outi[:, :, 0:24] & 1
+    parity56 = outi[:, :, 24:48] & 1
+    msg = outi[:, :, 48:62].astype(jnp.uint8)
+    w24 = (1 << jnp.arange(23, -1, -1, dtype=jnp.int32)).astype(jnp.int32)
+    syn112 = jnp.sum(parity112 * w24, axis=-1)
+    syn56 = jnp.sum(parity56 * w24, axis=-1)
+
+    # correlation lanes from the win row's corr bitplanes
+    cc = []
+    for c in range(3):
+        wsel = jnp.zeros((k,), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(wrot == r, rows[:, WIN_CORR_BASE + c * 8 + r], wsel)
+        cc.append((jax.lax.shift_right_logical(wsel, sb) & 1) != 0)
+    corr_fired = jnp.stack(cc, axis=-1) & (offsets < scan_len)[:, None]
+
+    zeros2 = jnp.zeros((k, 2), jnp.int32)
+    bc = BlockCandidates(
+        offsets=offsets,
+        n_cand=n_cand,
+        max_local=max_local,
+        corr_fired=corr_fired,
+        msg=msg,
+        syn112=syn112,
+        syn56=syn56,
+        sig_long=zeros2,
+        sig_short=zeros2,
+    )
+    return bc, cs_hi, cs_lo
+
+
 @functools.partial(jax.jit, static_argnames=("k", "scan_len", "l"))
 def demod_block(
     buf: jax.Array,
@@ -330,101 +554,6 @@ def demod_block(
     """
     if scan_len is None:
         scan_len = buf.shape[0] - TRAILING_SAMPLES
-    assert buf.shape[0] >= scan_len + SLICE_WINDOW
-
-    # --- stages 1/2/6a: dense scan (fused Pallas kernel on TPU) -------------
-    from . import pallas_kernels
-
-    if pallas_kernels.supported():
-        tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
-        padded = ((buf.shape[0] + tile - 1) // tile) * tile
-        bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
-        corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_pallas(
-            bufp, threshold
-        )
-    else:
-        corrbits, pwords, cs_hi, cs_lo = _dense_stages_jnp(buf, threshold)
-
-    cbits = corrbits[:scan_len]
-    cand = (cbits & 8) != 0
-    n_cand = jnp.sum(cand.astype(jnp.int32))
-
-    # --- stage 3: two-level compaction (no big scatter) ----------------------
-    # TPU scatter over the 2M-sample mask costs ~10 ms; instead compact
-    # hierarchically: per 256-sample block, rank candidates with an
-    # exclusive-prefix triangular matmul (exact in f32: counts < 2^24),
-    # select per-block candidate offsets with a one-hot contraction, then
-    # map global rank -> block via a tiny scatter + cummax.
-    offsets, max_local = _compact_two_level(cand, k, l, scan_len)
-
-    safe = jnp.minimum(offsets, scan_len - 1)
-    cb = cbits[safe].astype(jnp.int32)
-    corr_fired = (
-        jnp.stack([cb & 1, (cb >> 1) & 1, (cb >> 2) & 1], axis=-1) != 0
-    ) & (offsets < scan_len)[:, None]
-
-    # --- stage 4: gather packed words + extract bits -------------------------
-    offsets = jax.lax.optimization_barrier(offsets)
-    w0 = offsets >> 5  # first word of the candidate's window
-    s = offsets & 31  # bit offset within that word
-    widx = w0[:, None] + jnp.arange(WORDS_PER_CAND, dtype=jnp.int32)[None, :]
-    words = pwords[:, widx]  # (5, K, 11) — contiguous 11-word windows
-    # barriers pin stage boundaries: without them XLA re-fuses the gathers
-    # into the downstream matmul operands and recomputes them (~7 ms)
-    words = jax.lax.optimization_barrier(words)
-    # flatten to (K, 55) so per-bit word selection is a static take
-    words_flat = jnp.transpose(words, (1, 0, 2)).reshape(k, 5 * WORDS_PER_CAND)
-    words_flat = jax.lax.optimization_barrier(words_flat)
-
-    aoff_np, kid_np = lattice_tables()  # (5,112) each
-    woff = aoff_np >> 5  # static word offset of each bit
-    roff = aoff_np & 31  # static bit offset
-    flat_lo = jnp.asarray(kid_np * WORDS_PER_CAND + woff)  # (5,112) in [0,55)
-    flat_hi = flat_lo + 1
-
-    bitpos = jnp.asarray(roff)[None] + s[:, None, None]  # (K,5,112) in [0,63)
-    lo = words_flat[:, flat_lo]  # (K,5,112) static take
-    hi = words_flat[:, flat_hi]
-    sel = jnp.where(bitpos < 32, lo, hi)
-    bits = (jax.lax.shift_right_logical(sel, bitpos & 31) & 1).astype(jnp.bfloat16)
-    bits = jax.lax.optimization_barrier(bits)
-
-    # --- stage 5: syndromes + byte packing as one MXU matmul ----------------
-    comb = jnp.asarray(_combined_matrix(), dtype=jnp.bfloat16)  # (112, 62)
-    out = jax.lax.dot(
-        bits.reshape(k * NUM_PHASES, MODES_LONG_MSG_BITS),
-        comb,
-        preferred_element_type=jnp.float32,
-    )  # exact integers < 256
-    outi = out.astype(jnp.int32).reshape(k, NUM_PHASES, 62)
-    parity112 = outi[:, :, 0:24] & 1
-    parity56 = outi[:, :, 24:48] & 1
-    msg = outi[:, :, 48:62].astype(jnp.uint8)
-    w24 = (1 << jnp.arange(23, -1, -1, dtype=jnp.int32)).astype(jnp.int32)
-    syn112 = jnp.sum(parity112 * w24, axis=-1)
-    syn56 = jnp.sum(parity56 * w24, axis=-1)
-
-    # --- stage 6: exact signal power via split hi/lo prefix sums -------------
-    # (cs_hi/cs_lo computed by the dense stage; wraparound-exact int32)
-    def window_sum(a, b):
-        # sum over samples [offset+a, offset+b) per candidate (a >= 1)
-        ia = offsets + (a - 1)
-        ib = offsets + (b - 1)
-        hi_s = cs_hi[ib] - cs_hi[ia]
-        lo_s = cs_lo[ib] - cs_lo[ia]
-        return jnp.stack([hi_s, lo_s], axis=-1)
-
-    sig_long = window_sum(19, 19 + SIG_LONG)
-    sig_short = window_sum(19, 19 + SIG_SHORT)
-
-    return BlockCandidates(
-        offsets=offsets,
-        n_cand=n_cand,
-        max_local=max_local,
-        corr_fired=corr_fired,
-        msg=msg,
-        syn112=syn112,
-        syn56=syn56,
-        sig_long=sig_long,
-        sig_short=sig_short,
-    )
+    bc, cs_hi, cs_lo = _demod_core(buf, threshold, k=k, scan_len=scan_len, l=l)
+    sig_long, sig_short = window_sums(bc.offsets, cs_hi, cs_lo)
+    return bc._replace(sig_long=sig_long, sig_short=sig_short)

@@ -76,13 +76,17 @@ class GatedCandidates(NamedTuple):
     # reset_every boundary — lets the host subtract drops that fall inside
     # NMS skip windows (which the serial finalizer never counts).
     drop_cum_q: jax.Array  # int32[2, 3, K2]
-    drop_cum_bnd: jax.Array  # int32[2, NB]
+    drop_cum_bnd: jax.Array  # int32[2, C*NB]
+    # cumulative (pre, unknown, bad) drop counts at channel starts — the
+    # host derives exact per-channel stats by differencing
+    drop_cum_chan: jax.Array  # int32[3, C+1]
 
 
 def score_gate(
     bc: BlockCandidates,
-    bm_cur: jax.Array,
-    bm_prev: jax.Array,
+    known_tbl: jax.Array,
+    cs_hi: jax.Array,
+    cs_lo: jax.Array,
     valid_len: jax.Array | int | None = None,
     *,
     scan_len: int,
@@ -91,14 +95,32 @@ def score_gate(
     nfix: int = 1,
     fix_df: bool = True,
     reset_every: int | None = None,
+    seg_stride: int | None = None,
 ) -> GatedCandidates:
-    """Pure function (jnp; CPU/TPU identical) — see module docstring."""
+    """Pure function (jnp; CPU/TPU identical) — see module docstring.
+
+    known_tbl: int32[T] known-ICAO addresses (cur+prev generation union),
+    padded with the 0x1000000 sentinel (> any 24-bit residual).  A dense
+    broadcast-compare replaces the round-2 bitmap probe: the bitmap cost
+    K x 5 scalar word gathers (latency-bound on TPU); the compare is pure
+    VPU work and T stays small because a demod channel only ever sees its
+    own receiver's aircraft (capacity escalates by power of two).
+
+    cs_hi/cs_lo: the dense stage's exact split prefix sums; signal sums
+    are computed here for KEPT rows only (the host scorer needs them for
+    accepted frames; dropped candidates never did).
+    """
     k = bc.offsets.shape[0]
     if valid_len is None:
         valid_len = scan_len
     # candidates at/after valid_len (EOF padding) are dropped silently and
-    # uncounted, matching the ungated host path's offset masking
-    valid = bc.offsets < valid_len  # (K,)
+    # uncounted, matching the ungated host path's offset masking.  In the
+    # channel-batched layout (seg_stride set) valid_len is per-channel and
+    # sentinels (== scan_len) must stay invalid despite the modulo.
+    if seg_stride is not None:
+        valid = (bc.offsets < scan_len) & ((bc.offsets % seg_stride) < valid_len)
+    else:
+        valid = bc.offsets < valid_len  # (K,)
     msg = bc.msg.astype(jnp.int32)
     df = msg[:, :, 0] >> 3  # (K,5)
     aa = (msg[:, :, 1] << 16) | (msg[:, :, 2] << 8) | msg[:, :, 3]
@@ -147,13 +169,11 @@ def score_gate(
     )
     s_overflow = s_count > s_cap
 
-    # --- known-ICAO test: residual in (bitmap U teach-set) ------------------
+    # --- known-ICAO test: residual in (known table U teach-set) -------------
     residual = jnp.where(df >= 16, syn112, syn56) & 0xFFFFFF
-    bm = bm_cur | bm_prev
-    word = bm[(residual >> 5).reshape(-1)].reshape(residual.shape)
-    in_bitmap = ((word >> (residual & 31)) & 1) != 0
+    in_tbl = jnp.any(residual[:, :, None] == known_tbl[None, None, :], axis=-1)
     in_s = jnp.any(residual[:, :, None] == s_vals[None, None, :], axis=-1)
-    known = in_bitmap | in_s | s_overflow
+    known = in_tbl | in_s | s_overflow
 
     # --- per-phase class: 2 pass / 1 reject-unknown (-1) / 0 reject-bad (-2)
     is_short_icao = (df == 0) | (df == 4) | (df == 5)
@@ -191,6 +211,11 @@ def score_gate(
 
     offsets2 = jnp.where(live, bc.offsets[safe], scan_len)
 
+    # signal sums for kept rows only (K2 << K gathers)
+    from .demod import window_sums
+
+    sig_long, sig_short = window_sums(offsets2, cs_hi, cs_lo)
+
     # --- skip-window drop accounting (see GatedCandidates docstring) --------
     unk_mask = (dropped & (cand_cls == 1)).astype(jnp.int32)
     bad_mask = (dropped & (cand_cls == 0)).astype(jnp.int32)
@@ -203,10 +228,23 @@ def score_gate(
 
     q = jnp.stack([offsets2, offsets2 + 113, offsets2 + 225], axis=0)  # (3, K2)
     drop_cum_q = jnp.moveaxis(cumlt(q), 0, 0)  # (2, 3, K2)
-    re = reset_every or scan_len
-    nb = (scan_len + re - 1) // re
-    bnds = jnp.arange(1, nb + 1, dtype=jnp.int32) * re
-    drop_cum_bnd = cumlt(jnp.minimum(bnds, scan_len))  # (2, NB)
+    stride = seg_stride or scan_len
+    n_chan = scan_len // stride
+    re = reset_every or stride
+    nb = (stride + re - 1) // re  # reset boundaries per channel segment
+    local = jnp.arange(1, nb + 1, dtype=jnp.int32) * re
+    bnds = (
+        jnp.arange(n_chan, dtype=jnp.int32)[:, None] * stride + local[None, :]
+    ).reshape(-1)
+    drop_cum_bnd = cumlt(jnp.minimum(bnds, scan_len))  # (2, C*NB)
+
+    # per-channel drop totals: cumulative (pre, unknown, bad) at channel starts
+    cum_pre = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(dropped.astype(jnp.int32))]
+    )
+    cstarts = jnp.arange(n_chan + 1, dtype=jnp.int32) * stride
+    rch = jnp.searchsorted(bc.offsets, cstarts, side="left")
+    drop_cum_chan = jnp.stack([cum_pre[rch], cum_unk[rch], cum_bad[rch]])
 
     return GatedCandidates(
         offsets=offsets2,
@@ -220,10 +258,11 @@ def score_gate(
         msg=take(bc.msg),
         syn112=take(bc.syn112),
         syn56=take(bc.syn56),
-        sig_long=take(bc.sig_long),
-        sig_short=take(bc.sig_short),
+        sig_long=sig_long,
+        sig_short=sig_short,
         drop_cum_q=drop_cum_q,
         drop_cum_bnd=drop_cum_bnd,
+        drop_cum_chan=drop_cum_chan,
     )
 
 
@@ -266,44 +305,45 @@ def skipped_drops(
 # Device mirror of the host's two-generation ICAO filter
 # ---------------------------------------------------------------------------
 
-MAX_ADDS = 256
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _icao_apply(bm_cur, bm_prev, addrs, do_swap):
-    """Swap generations (prev<-cur, cur<-0) then OR new addrs into cur.
-
-    addrs int32[MAX_ADDS], -1 = unused.  Caller guarantees each addr is not
-    already present in the current generation (so scatter-add == OR).
-    """
-    bm_prev = jnp.where(do_swap, bm_cur, bm_prev)
-    bm_cur = jnp.where(do_swap, jnp.zeros_like(bm_cur), bm_cur)
-    ok = addrs >= 0
-    w = jnp.where(ok, addrs >> 5, 0)
-    v = jnp.where(ok, jnp.left_shift(jnp.uint32(1), (addrs & 31).astype(jnp.uint32)), 0)
-    bm_cur = bm_cur.at[w].add(v.astype(jnp.uint32), mode="drop")
-    return bm_cur, bm_prev
+TBL_SENTINEL = 0x1000000  # > any 24-bit address; never equals a residual
 
 
 class DeviceIcaoMirror:
     """Mirrors IcaoFilter / the native filter's generation clock on device.
 
+    The device representation is a sentinel-padded int32 address table
+    (cur U prev generation) consumed by score_gate's broadcast compare.
     The swap schedule replicates IcaoFilter.expire (60 s TTL, initialized
-    on first expire call) so the device bitmap always equals the host
-    filter state at the start of each superblock.
+    on first expire call) so the table always equals the host filter
+    state at the start of each superblock.  Capacity grows by powers of
+    two; a capacity change reshapes the table, which retraces the jitted
+    gate (same escalate-and-recompile contract as candidate capacity k).
     """
 
     TTL_MS = 60_000
 
-    def __init__(self):
-        self.bm_cur = jnp.zeros(ICAO_WORDS, jnp.uint32)
-        self.bm_prev = jnp.zeros(ICAO_WORDS, jnp.uint32)
+    def __init__(self, capacity: int = 2048):
+        self.capacity = capacity
         self._cur_set: set[int] = set()
+        self._prev_set: set[int] = set()
         self.next_swap_ms: int | None = None
-        self._pending: list[int] = []
+        self._dirty = True
+        self._tbl: jax.Array | None = None
+
+    @property
+    def tbl(self) -> jax.Array:
+        if self._dirty or self._tbl is None:
+            vals = sorted(self._cur_set | self._prev_set)
+            while len(vals) > self.capacity:
+                self.capacity *= 2
+            a = np.full(self.capacity, TBL_SENTINEL, np.int32)
+            a[: len(vals)] = vals
+            self._tbl = jnp.asarray(a)
+            self._dirty = False
+        return self._tbl
 
     def add_from_frames(self, frames) -> None:
-        """Queue filter additions implied by accepted frames (mode_s.c:778)."""
+        """Apply filter additions implied by accepted frames (mode_s.c:778)."""
         for f in frames:
             if f.correctedbits:
                 continue
@@ -312,7 +352,7 @@ class DeviceIcaoMirror:
                 a = f.addr & 0xFFFFFF
                 if a not in self._cur_set:
                     self._cur_set.add(a)
-                    self._pending.append(a)
+                    self._dirty = True
 
     def expire(self, now_ms: int) -> bool:
         if self.next_swap_ms is None:
@@ -320,20 +360,8 @@ class DeviceIcaoMirror:
             return False
         if now_ms >= self.next_swap_ms:
             self.next_swap_ms = now_ms + self.TTL_MS
+            self._prev_set = self._cur_set
             self._cur_set = set()
+            self._dirty = True
             return True
         return False
-
-    def flush(self, do_swap: bool = False) -> None:
-        """Apply queued adds (and an optional generation swap) on device."""
-        if not self._pending and not do_swap:
-            return
-        while self._pending or do_swap:
-            chunk = self._pending[:MAX_ADDS]
-            self._pending = self._pending[MAX_ADDS:]
-            a = np.full(MAX_ADDS, -1, np.int32)
-            a[: len(chunk)] = chunk
-            self.bm_cur, self.bm_prev = _icao_apply(
-                self.bm_cur, self.bm_prev, jnp.asarray(a), jnp.bool_(do_swap)
-            )
-            do_swap = False

@@ -299,7 +299,7 @@ class Demodulator:
     static_argnames=("k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every"),
 )
 def _demod_and_gate(
-    mag, overlap, valid_len, threshold, bm_cur, bm_prev,
+    mag, overlap, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every,
 ):
     """One dispatch: concat overlap, demod, score-gate, block stats.
@@ -310,9 +310,11 @@ def _demod_and_gate(
     from .ops.gate import score_gate
 
     buf = jnp.concatenate([overlap, mag])
-    bc = demod_ops.demod_block(buf, threshold, k=k, scan_len=scan_len, l=l)
+    bc, cs_hi, cs_lo = demod_ops._demod_core(
+        buf, threshold, k=k, scan_len=scan_len, l=l
+    )
     gc = score_gate(
-        bc, bm_cur, bm_prev, valid_len,
+        bc, known_tbl, cs_hi, cs_lo, valid_len,
         scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
         reset_every=reset_every,
     )
@@ -340,8 +342,7 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
             self._overlap_dev,
             jnp.int32(valid_len),
             jnp.int32(self.threshold),
-            mirror.bm_cur,
-            mirror.bm_prev,
+            mirror.tbl,
             k=self.k,
             scan_len=self.super_samples,
             l=self.compact_l,
@@ -409,14 +410,306 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
         self.native.icao_expire(now_ms)
     else:
         self.scorer.icao.expire(now_ms)
-    # keep the device bitmap == host filter state for the NEXT superblock
+    # keep the device table == host filter state for the NEXT superblock
     mirror.add_from_frames(frames)
-    swap = mirror.expire(now_ms)
-    mirror.flush(swap)
+    mirror.expire(now_ms)
     return frames
 
 
 Demodulator._demod_mag_gated = _demod_mag_gated
+
+
+# ---------------------------------------------------------------------------
+# Channel-batched pipeline: C virtual receiver channels per dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every",
+        "seg_stride", "seg_valid",
+    ),
+)
+def _demod_and_gate_multi(
+    mags, overlaps, valid_len, threshold, known_tbl,
+    *, k, scan_len, l, k2, nfix, fix_df, reset_every, seg_stride, seg_valid,
+):
+    """One dispatch demodulating C channels (SURVEY 2.5 batch axis).
+
+    mags: uint16[C, seg_valid], overlaps: uint16[C, 326].  Channels are
+    laid out as concatenated segments [overlap | samples | zero gap] so
+    the dense scan runs once over one flat buffer; the per-channel scan
+    ranges are masked inside _demod_core and candidate offsets stay
+    global (channel = offset // seg_stride).
+    """
+    from .ops.gate import score_gate
+
+    c = mags.shape[0]
+    gap = seg_stride - seg_valid - TRAILING_SAMPLES
+    seg = jnp.concatenate(
+        [overlaps, mags, jnp.zeros((c, gap), mags.dtype)], axis=1
+    )
+    buf = jnp.pad(seg.reshape(-1), (0, 512))
+    bc, cs_hi, cs_lo = demod_ops._demod_core(
+        buf, threshold, k=k, scan_len=scan_len, l=l,
+        seg_stride=seg_stride, seg_valid=seg_valid,
+    )
+    gc = score_gate(
+        bc, known_tbl, cs_hi, cs_lo, valid_len,
+        scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
+        reset_every=reset_every, seg_stride=seg_stride,
+    )
+    i = jnp.arange(seg_valid, dtype=jnp.int32)[None, :]
+    mv = jnp.where(i < valid_len, mags.astype(jnp.float32), 0.0)
+    nv = jnp.maximum(valid_len, 1).astype(jnp.float32)
+    level = jnp.sum(mv, axis=1) / 65536.0 / nv
+    power = jnp.sum(mv * mv, axis=1) / (65535.0 * 65535.0) / nv
+    return gc, mags[:, -TRAILING_SAMPLES:], level, power
+
+
+class MultiDemodulator:
+    """Channel-batched streaming demodulator.
+
+    C independent receiver channels move through ONE compiled device
+    program per superblock — the designed route to the >=1000x/chip
+    target (batch x phase x channel parallelism, SURVEY 2.5, BASELINE
+    64-channel host config).  Per-channel frames, timestamps, and stats
+    are bit-identical with C independent (gated) Demodulators
+    (tests/test_multichan.py); the device-side ICAO table is the union
+    of all channels' filters, which is a provably safe over-approximation
+    for the score gate (ops/gate.py docstring) and keeps drop counters
+    exact per channel via drop_cum_chan differencing.
+
+    feed() takes one bytes chunk per channel (lockstep streams — the
+    virtual-channel model is C SDRs sharing one sample clock, the
+    reference's per-SDR mag_buf cadence, readsb.h:450-464).
+    """
+
+    SEG_PAD = 512  # >= 326-sample halo + margin; keeps 256-alignment
+
+    def __init__(
+        self,
+        n_chan: int,
+        fmt: str = "uc8",
+        block_samples: int = BLOCK_SAMPLES,
+        blocks_per_batch: int = 1,
+        k_per_block: int = 2048,
+        threshold: int = PREAMBLE_THRESHOLD_DEFAULT,
+        nfix: int = 1,
+        fix_df: bool = True,
+        use_native: bool | None = None,
+    ):
+        from .ops.gate import DeviceIcaoMirror
+
+        self.n_chan = n_chan
+        self.fmt = fmt
+        self.block_samples = block_samples
+        self.seg_valid = block_samples * blocks_per_batch  # S per channel
+        self.seg_stride = self.seg_valid + self.SEG_PAD
+        self.scan_len = n_chan * self.seg_stride
+        self.threshold = threshold
+        self.nfix = nfix
+        self.fix_df = fix_df
+        self.k = k_per_block * blocks_per_batch * n_chan
+        self.compact_l = 64
+        self.gate_k2 = max(1024, 64 * n_chan)
+        self.mirror = DeviceIcaoMirror()
+        self.fins = []
+        native_cls = None
+        if use_native is not False:
+            try:
+                from . import native as native_mod
+
+                if native_mod.load() is not None:
+                    native_cls = native_mod.NativeFinalizer
+            except Exception:
+                if use_native:
+                    raise
+        from .decode.score import Scorer
+
+        self.native = native_cls is not None
+        for _ in range(n_chan):
+            if native_cls is not None:
+                self.fins.append(native_cls(nfix=nfix, fix_df=fix_df))
+            else:
+                self.fins.append(Scorer(nfix=nfix, fix_df=fix_df))
+        self._overlap_dev = jnp.zeros((n_chan, TRAILING_SAMPLES), jnp.uint16)
+        self.scan_global = 0  # per-channel sample clock (lockstep)
+        self._skips = [0] * n_chan
+        self._pending = [b""] * n_chan
+        self._gate_drops = [[0, 0, 0] for _ in range(n_chan)]
+        self.mean_level = np.zeros(n_chan)
+        self.mean_power = np.zeros(n_chan)
+
+    # ------------------------------------------------------------------
+
+    def feed(self, raws: list[bytes]) -> list[list[RawFrame]]:
+        """Feed one bytes chunk per channel; returns per-channel frames."""
+        assert len(raws) == self.n_chan
+        bps = _BYTES_PER_SAMPLE[self.fmt]
+        super_bytes = self.seg_valid * bps
+        for c, r in enumerate(raws):
+            self._pending[c] = self._pending[c] + r if self._pending[c] else r
+        out: list[list[RawFrame]] = [[] for _ in range(self.n_chan)]
+        while min(len(p) for p in self._pending) >= super_bytes:
+            chunk = np.stack(
+                [
+                    np.frombuffer(p, dtype=np.uint8, count=super_bytes)
+                    for p in self._pending
+                ]
+            )
+            self._pending = [p[super_bytes:] for p in self._pending]
+            got = self._process(chunk, self.seg_valid)
+            for c in range(self.n_chan):
+                out[c].extend(got[c])
+        return out
+
+    def flush(self) -> list[list[RawFrame]]:
+        """Process the final partial superblock (EOF, zero-padded).
+
+        Channels must be lockstep (same pending length) for exact parity;
+        shorter channels are padded with silence.
+        """
+        bps = _BYTES_PER_SAMPLE[self.fmt]
+        n = max(len(p) for p in self._pending) // bps
+        if n == 0:
+            self._pending = [b""] * self.n_chan
+            return [[] for _ in range(self.n_chan)]
+        super_bytes = self.seg_valid * bps
+        chunk = np.zeros((self.n_chan, super_bytes), dtype=np.uint8)
+        for c, p in enumerate(self._pending):
+            chunk[c, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+        self._pending = [b""] * self.n_chan
+        return self._process(chunk, n)
+
+    # ------------------------------------------------------------------
+
+    def _process(self, chunk: np.ndarray, valid_len: int) -> list[list[RawFrame]]:
+        mag = _to_mag(chunk.reshape(-1), self.fmt).reshape(
+            self.n_chan, self.seg_valid
+        )
+        while True:
+            gc, new_overlap, level, power = _demod_and_gate_multi(
+                mag,
+                self._overlap_dev,
+                jnp.int32(valid_len),
+                jnp.int32(self.threshold),
+                self.mirror.tbl,
+                k=self.k,
+                scan_len=self.scan_len,
+                l=self.compact_l,
+                k2=self.gate_k2,
+                nfix=self.nfix,
+                fix_df=self.fix_df,
+                reset_every=self.block_samples,
+                seg_stride=self.seg_stride,
+                seg_valid=self.seg_valid,
+            )
+            n, max_local, n_keep = map(
+                int, jax.device_get([gc.n_cand, gc.max_local, gc.n_keep])
+            )
+            if n <= self.k and max_local <= self.compact_l and n_keep <= self.gate_k2:
+                break
+            while self.k < n:
+                self.k *= 2
+            while self.compact_l < max_local:
+                self.compact_l *= 2
+            while self.gate_k2 < n_keep:
+                self.gate_k2 *= 2
+
+        (offs, cf, msgb, s112, s56, sl, ss, dcq, dcb, dcc, lv, pw) = jax.device_get(
+            [
+                gc.offsets, gc.corr_fired, gc.msg, gc.syn112, gc.syn56,
+                gc.sig_long, gc.sig_short,
+                gc.drop_cum_q, gc.drop_cum_bnd, gc.drop_cum_chan, level, power,
+            ]
+        )
+        self._overlap_dev = new_overlap
+        self.mean_level = np.asarray(lv)
+        self.mean_power = np.asarray(pw)
+
+        from .ops.gate import skipped_drops
+
+        nb_per_chan = dcb.shape[1] // self.n_chan
+        sl64 = _sigsum(sl)
+        ss64 = _sigsum(ss)
+        bounds = np.searchsorted(
+            offs[:n_keep], np.arange(self.n_chan + 1) * self.seg_stride
+        )
+        results: list[list[RawFrame]] = []
+        all_frames: list[RawFrame] = []
+        for c in range(self.n_chan):
+            a, b = int(bounds[c]), int(bounds[c + 1])
+            loc = offs[a:b] - c * self.seg_stride
+            kw = dict(
+                scan_len=self.seg_valid,
+                block_scan_start=self.scan_global,
+                carry_skip=self._skips[c],
+                reset_every=self.block_samples,
+            )
+            args = (loc, b - a, cf[a:b], msgb[a:b], s112[a:b], s56[a:b],
+                    sl64[a:b], ss64[a:b])
+            if self.native:
+                frames, leftover = self.fins[c].finalize_block(*args, **kw)
+            else:
+                frames, leftover = finalize_block(self.fins[c], *args, **kw)
+            self._skips[c] = 0  # carry_skip off (matches Demodulator default)
+
+            # exact per-channel drop statistics (see _demod_mag_gated)
+            # dcq/dcb slices hold GLOBAL cumulative counts; skipped_drops
+            # only ever differences them, so no per-channel rebase needed
+            dcb_c = dcb[:, c * nb_per_chan : (c + 1) * nb_per_chan]
+            sk_u, sk_b = skipped_drops(
+                frames, loc, dcq[:, :, a:b], dcb_c,
+                block_scan_start=self.scan_global,
+                reset_every=self.block_samples,
+            )
+            pre_c = int(dcc[0, c + 1] - dcc[0, c])
+            unk_c = int(dcc[1, c + 1] - dcc[1, c])
+            bad_c = int(dcc[2, c + 1] - dcc[2, c])
+            gd = self._gate_drops[c]
+            gd[0] += pre_c - sk_u - sk_b
+            gd[1] += unk_c - sk_u
+            gd[2] += bad_c - sk_b
+            results.append(frames)
+            all_frames.extend(frames)
+
+        self.scan_global += valid_len
+        now_ms = self.scan_global * 5 // 12000
+        for c in range(self.n_chan):
+            if self.native:
+                self.fins[c].icao_expire(now_ms)
+            else:
+                self.fins[c].icao.expire(now_ms)
+        self.mirror.add_from_frames(all_frames)
+        self.mirror.expire(now_ms)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def channel_stats(self, c: int):
+        from .decode.score import DemodStats
+
+        d = DemodStats()
+        if self.native:
+            st = self.fins[c].stats()
+            d.preambles = st["preambles"]
+            d.rejected_bad = st["rejected_bad"]
+            d.rejected_unknown_icao = st["rejected_unknown_icao"]
+            d.accepted = st["accepted"]
+        else:
+            s = self.fins[c].stats
+            d.preambles = s.preambles
+            d.rejected_bad = s.rejected_bad
+            d.rejected_unknown_icao = s.rejected_unknown_icao
+            d.accepted = list(s.accepted)
+            d.overflow_blocks = s.overflow_blocks
+        gd = self._gate_drops[c]
+        d.preambles += gd[0]
+        d.rejected_unknown_icao += gd[1]
+        d.rejected_bad += gd[2]
+        return d
 
 
 def demodulate_file(path: str, fmt: str = "uc8", **kw) -> tuple[list[RawFrame], Demodulator]:
