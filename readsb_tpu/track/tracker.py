@@ -39,6 +39,7 @@ from ..decode.fields import (
     CprType,
     HeadingType,
     ModesMessage,
+    SilType,
     Source,
 )
 
@@ -95,8 +96,102 @@ class CprPair:
     lat: int = 0
     lon: int = 0
     nuc: int = 0
+    nic: int = 0  # integrity category at pair accept (track.c:1833,1844)
+    rc: float = 0.0  # containment radius, meters; 0 = RC_UNKNOWN (track.h:63)
     type: CprType = CprType.NONE
     valid: Validity = dataclasses.field(default_factory=Validity)
+
+
+def compute_nic(metype: int, version: int, nic_a: int, nic_b: int, nic_c: int) -> int:
+    """NIC from position metype + version + NIC supplements (track.c:1387-1472)."""
+    if metype in (5, 9, 20):
+        return 11
+    if metype in (6, 10, 21):
+        return 10
+    if metype == 7:
+        if version == 2:
+            return 9 if (nic_a and not nic_c) else 8
+        if version == 1:
+            return 9 if nic_a else 8
+        return 8
+    if metype == 8:
+        if version == 2:
+            if nic_a and nic_c:
+                return 7
+            if nic_a != nic_c:
+                return 6
+        return 0
+    if metype == 11:
+        if version == 2:
+            return 9 if (nic_a and nic_b) else 8
+        if version == 1:
+            return 9 if nic_a else 8
+        return 8
+    if 12 <= metype <= 15:
+        return {12: 7, 13: 6, 14: 5, 15: 4}[metype]
+    if metype == 16:
+        return 3 if (nic_a and nic_b) else 2
+    if metype == 17:
+        return 1
+    return 0
+
+
+def compute_rc(metype: int, version: int, nic_a: int, nic_b: int, nic_c: int) -> float:
+    """Containment radius in meters from the same inputs (track.c:1475-1588)."""
+    if metype in (5, 9, 20):
+        return 8  # 7.5 m
+    if metype in (6, 10, 21):
+        return 25
+    if metype == 7:
+        ok = (nic_a and not nic_c) if version == 2 else (nic_a if version == 1 else 0)
+        return 75 if ok else 186
+    if metype == 8:
+        if version == 2:
+            if nic_a and nic_c:
+                return 371
+            if nic_a and not nic_c:
+                return 556
+            if nic_c:
+                return 926
+        return 0  # RC_UNKNOWN
+    if metype == 11:
+        ok = (nic_a and nic_b) if version == 2 else (nic_a if version == 1 else 0)
+        return 75 if ok else 186
+    if metype == 12:
+        return 371
+    if metype == 13:
+        if version == 2:
+            if not nic_a and nic_b:
+                return 556
+            if not nic_a and not nic_b:
+                return 926
+            if nic_a and nic_b:
+                return 1112
+            return 0
+        if version == 1:
+            return 1112 if nic_a else 926
+        return 926
+    if metype == 14:
+        return 1852
+    if metype == 15:
+        return 3704
+    if metype == 16:
+        if version == 2:
+            return 7408 if (nic_a and nic_b) else 14816
+        if version == 1:
+            return 7408 if nic_a else 14816
+        return 18520
+    if metype == 17:
+        return 37040
+    return 0
+
+
+# ADS-B v0: NACp / SIL inferred from the position metype
+# (ED-102A tables N-7/N-8; track.c:1593-1663)
+_V0_NACP = {0: 0, 5: 11, 6: 10, 7: 8, 8: 0, 9: 11, 10: 10, 11: 8, 12: 7,
+            13: 6, 14: 5, 15: 4, 16: 1, 17: 1, 18: 0, 20: 11, 21: 10, 22: 0}
+_V0_SIL = {0: 0, 18: 0, 22: 0,
+           **{m: 2 for m in (5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 20, 21)}}
 
 
 @dataclasses.dataclass
@@ -197,13 +292,17 @@ class Aircraft:
     nav_modes_valid: Validity = dataclasses.field(default_factory=Validity)
     nav_altitude_src: int = 0
 
-    # accuracy / version
+    # accuracy / version (per-source version slots, track.c:2004-2017)
     adsb_version: int = -1
+    tisb_version: int = -1
+    adsr_version: int = -1
     adsb_hrd: HeadingType = HeadingType.MAGNETIC
     adsb_tah: HeadingType = HeadingType.GROUND_TRACK
     nic_a: int = 0
+    nic_a_valid: Validity = dataclasses.field(default_factory=Validity)
     nic_b: int = 0
     nic_c: int = 0
+    nic_c_valid: Validity = dataclasses.field(default_factory=Validity)
     nic_baro: int = 0
     nic_baro_valid: Validity = dataclasses.field(default_factory=Validity)
     nac_p: int = 0
@@ -350,7 +449,33 @@ class Tracker:
                 a.signal_ring = a.signal_ring[-8:]
         if mm.addrtype < a.addrtype or not a.messages:
             a.addrtype = mm.addrtype
+        if a.addrtype > AddrType.ADSB_ICAO_NT:
+            # non-ADS-B address type resets the ADS-B version (track.c:1996)
+            a.adsb_version = -1
         src = mm.source
+
+        # --- ADS-B version bookkeeping (track.c:2001-2056) ----------------
+        # per-source version slot; assume v0 once any message arrives, let
+        # opstatus set the real version, then backfill v0 NACp/SIL from the
+        # position metype (ED-102A tables N-7/N-8)
+        _vslot = {
+            Source.ADSB: "adsb_version",
+            Source.TISB: "tisb_version",
+            Source.ADSR: "adsr_version",
+        }.get(src)
+        mv = getattr(a, _vslot) if _vslot else -1
+        if mv < 0:
+            mv = 0
+        if mm.opstatus_valid and mm.adsb_version is not None:
+            mv = mm.adsb_version
+        if _vslot:
+            setattr(a, _vslot, mv)
+        if mv == 0 and mm.msgtype in (17, 18) and mm.metype in _V0_NACP:
+            if mm.nac_p is None:
+                mm.nac_p = _V0_NACP[mm.metype]
+            if mm.sil_type == SilType.INVALID and mm.metype in _V0_SIL:
+                mm.sil = _V0_SIL[mm.metype]
+                mm.sil_type = SilType.UNKNOWN
 
         # --- altitude ----------------------------------------------------
         if mm.baro_alt is not None and self._accept(a, a.baro_alt_valid, src, now):
@@ -457,15 +582,15 @@ class Tracker:
             a.nav_altitude_src = mm.nav_altitude_source
 
         # --- accuracy / opstatus -----------------------------------------
+        # (version itself is handled in the bookkeeping block above)
         if mm.opstatus_valid:
-            a.adsb_version = mm.adsb_version if mm.adsb_version is not None else a.adsb_version
             a.adsb_hrd = mm.opstatus_hrd
             a.adsb_tah = mm.opstatus_tah
-        if mm.nic_a is not None:
+        if mm.nic_a is not None and self._accept(a, a.nic_a_valid, src, now):
             a.nic_a = mm.nic_a
         if mm.nic_b is not None:
             a.nic_b = mm.nic_b
-        if mm.nic_c is not None:
+        if mm.nic_c is not None and self._accept(a, a.nic_c_valid, src, now):
             a.nic_c = mm.nic_c
         if mm.nic_baro is not None and self._accept(a, a.nic_baro_valid, src, now):
             a.nic_baro = mm.nic_baro
@@ -582,6 +707,12 @@ class Tracker:
         pair.lat = mm.cpr_lat
         pair.lon = mm.cpr_lon
         pair.type = mm.cpr_type
+        # NIC/Rc at pair accept (compute_nic_rc_from_message, track.c:1666)
+        nic_a = 1 if (a.nic_a_valid.valid(now) and a.nic_a) else 0
+        nic_b = 1 if mm.nic_b else 0
+        nic_c = 1 if (a.nic_c_valid.valid(now) and a.nic_c) else 0
+        pair.nic = compute_nic(mm.metype, a.adsb_version, nic_a, nic_b, nic_c)
+        pair.rc = compute_rc(mm.metype, a.adsb_version, nic_a, nic_b, nic_c)
         self._accept(a, pair.valid, mm.source, now)
 
         if mm.cpr_type == CprType.SURFACE:
@@ -616,6 +747,12 @@ class Tracker:
 
         if result is None:
             return
+        if used_global:
+            # worse of the two pair halves: smaller NIC, larger Rc
+            # (doGlobalCPR, track.c:753-756)
+            mm.decoded_nic = min(a.cpr_even.nic, a.cpr_odd.nic)
+            mm.decoded_rc = max(a.cpr_even.rc, a.cpr_odd.rc)
+        # (the local path sets decoded_nic/rc inside _do_local_cpr)
         lat, lon = result
 
         if not self._speed_check(a, mm, lat, lon, now):
@@ -657,11 +794,21 @@ class Tracker:
         """Relative decode against our last position or the receiver
         location (track.c:843-967)."""
         surface = mm.cpr_type == CprType.SURFACE
+        pair = a.cpr_odd if mm.cpr_odd else a.cpr_even
+        mm.decoded_nic = pair.nic
+        mm.decoded_rc = pair.rc
         if a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) and a.seen_pos:
             # range limit: 50s at 600kt + jitter allowance
             elapsed = now - a.seen_pos
             range_limit = 1852 * (100 + 600.0 * elapsed / 1000 / 3600)
             ref = (a.lat, a.lon)
+            # aircraft-relative decode inherits the previous position's
+            # integrity when worse (doLocalCPR, track.c:864-869 — note the
+            # reference takes the SMALLER rc here; replicated as-is)
+            if a.pos_nic < mm.decoded_nic:
+                mm.decoded_nic = a.pos_nic
+            if a.pos_rc < mm.decoded_rc:
+                mm.decoded_rc = a.pos_rc
         elif self.receiver_lat is not None and not surface:
             range_limit = self.max_range_m
             ref = (self.receiver_lat, self.receiver_lon)
@@ -1081,6 +1228,7 @@ class Tracker:
                 a.emergency_valid, a.category_valid, a.alert_valid, a.spi_valid,
                 a.nav_qnh_valid, a.nav_altitude_mcp_valid, a.nav_altitude_fms_valid,
                 a.nav_heading_valid, a.nav_modes_valid, a.nic_baro_valid,
+                a.nic_a_valid, a.nic_c_valid,
                 a.nac_p_valid, a.nac_v_valid, a.sil_valid, a.gva_valid,
                 a.sda_valid, a.wind_valid, a.oat_valid,
             ):

@@ -95,15 +95,17 @@ def altitude_to_ac12(alt_ft: float) -> int:
 AIS_CHARSET = "?ABCDEFGHIJKLMNOPQRSTUVWXYZ????? ???????????????0123456789??????"
 
 
-def encode_df17_position(addr: int, lat: float, lon: float, alt_ft: float, odd: int) -> bytes:
+def encode_df17_position(addr: int, lat: float, lon: float, alt_ft: float, odd: int,
+                         metype: int = 11, nic_b: int = 0) -> bytes:
     msg = bytearray(14)
     _setbits(msg, 1, 5, 17)
     _setbits(msg, 6, 8, 5)  # CA = airborne
     _setbits(msg, 9, 32, addr)
     me_first = 33
-    _setbits(msg, me_first, me_first + 4, 11)  # metype 11: airborne position, baro
-    # surveillance status 0, NIC-B 0
-    _setbits(msg, me_first + 5, me_first + 7, 0)
+    _setbits(msg, me_first, me_first + 4, metype)  # airborne position metype
+    # surveillance status 0, NIC-B (ME bit 8, mode_s.c:1048)
+    _setbits(msg, me_first + 5, me_first + 6, 0)
+    _setbits(msg, me_first + 7, me_first + 7, nic_b)
     _setbits(msg, me_first + 8, me_first + 19, altitude_to_ac12(alt_ft))
     _setbits(msg, me_first + 20, me_first + 20, 0)  # time bit
     _setbits(msg, me_first + 21, me_first + 21, odd)
@@ -152,6 +154,36 @@ def encode_df17_ident(addr: int, callsign: str, category: int = 0xA3) -> bytes:
     for i, ch in enumerate(cs):
         code = AIS_CHARSET.index(ch) if ch in AIS_CHARSET else 32
         _setbits(msg, me + 8 + 6 * i, me + 13 + 6 * i, code)
+    return append_crc(bytes(msg), 112)
+
+
+def encode_df17_opstatus(addr: int, version: int = 2, nic_a: int = 0,
+                         nac_p: int = 9, gva: int = 2, sil: int = 3,
+                         nic_baro: int = 1, hrd: int = 0,
+                         sil_per_sample: int = 0) -> bytes:
+    """Aircraft operational status, metype 31 subtype 0 (airborne).
+
+    Field layout per the reference decoder (mode_s.c:1334-1453):
+    version ME bits 41-43, NIC-A 44, NACp 45-48, GVA 49-50 (v2),
+    SIL 51-52, NIC-baro 53, HRD 54, SIL-supplement 55 (v2).
+    """
+    msg = bytearray(14)
+    _setbits(msg, 1, 5, 17)
+    _setbits(msg, 6, 8, 5)
+    _setbits(msg, 9, 32, addr)
+    me = 32  # ME bit n = message bit 32 + n
+    _setbits(msg, me + 1, me + 5, 31)  # metype 31
+    _setbits(msg, me + 6, me + 8, 0)  # subtype 0: airborne
+    _setbits(msg, me + 41, me + 43, version)
+    _setbits(msg, me + 44, me + 44, nic_a)
+    _setbits(msg, me + 45, me + 48, nac_p)
+    if version == 2:
+        _setbits(msg, me + 49, me + 50, gva)
+    _setbits(msg, me + 51, me + 52, sil)
+    _setbits(msg, me + 53, me + 53, nic_baro)
+    _setbits(msg, me + 54, me + 54, hrd)
+    if version == 2:
+        _setbits(msg, me + 55, me + 55, sil_per_sample)
     return append_crc(bytes(msg), 112)
 
 
