@@ -15,6 +15,26 @@ import os
 import sys
 import time
 
+
+def _apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS even when a site hook pre-registered a backend.
+
+    Some environments register an accelerator PJRT plugin from
+    sitecustomize and pin platform selection there; explicit user intent
+    (JAX_PLATFORMS=cpu for tests/CI) must still win.
+    """
+    plat = os.environ.get("READSB_TPU_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+_apply_platform_env()
+
 from .. import constants
 from ..decode.fields import ModesMessage, Source, decode_frame
 from ..io import beast as beast_io
@@ -44,8 +64,14 @@ class App:
         self._shared_net_scorer = None
         self.epoch_ms = int(time.time() * 1000)
         self.messages = 0
+        self.remote_modes = 0
+        self.remote_bad = 0
+        self.remote_modeac = 0
         self.start_time = time.time()
         self._demod = None
+        from ..io.stats import StatsCollector
+
+        self.stats_collector = StatsCollector()
         self.out_raw = self.net.add_output("raw_out")
         self.out_beast = self.net.add_output("beast_out")
         self.out_sbs = self.net.add_output("sbs_out")
@@ -74,10 +100,16 @@ class App:
     def handle_frame(self, frame) -> None:
         """One accepted demodulated frame -> decode, track, fan out."""
         mm = decode_frame(frame, epoch_ms=self.epoch_ms)
+        self.stats_collector.note_signal(frame.signal_power)
         self.handle_message(mm, raw_ts=frame.timestamp, signal=frame.signal_power)
 
     def handle_message(self, mm: ModesMessage, raw_ts: int = 0, signal: float = 0.0) -> None:
         self.messages += 1
+        if getattr(mm, "remote", False):
+            if len(mm.msg) == 2:
+                self.remote_modeac += 1
+            else:
+                self.remote_modes += 1
         a = self.tracker.update(mm)
         if self.args.show_raw:
             print("*%s;" % mm.msg.hex(), flush=False)
@@ -146,10 +178,14 @@ class App:
         loop = asyncio.get_event_loop()
         try:
             while True:
+                t0 = time.perf_counter()
                 data = await loop.run_in_executor(None, f.read, chunk)
+                self.stats_collector.cpu["reader"] += (time.perf_counter() - t0) * 1e3
                 if not data:
                     break
+                t0 = time.perf_counter()
                 frames = await loop.run_in_executor(None, demod.feed, data)
+                self.stats_collector.cpu["demod"] += (time.perf_counter() - t0) * 1e3
                 for fr in frames:
                     self.handle_frame(fr)
                 self._drain_modeac(demod)
@@ -503,8 +539,10 @@ class App:
         while True:
             await asyncio.sleep(0.25)
             self._last_tick = time.time()
+            _bg_t0 = time.perf_counter()
             self.drain_net_queue()
             now = self.now_ms()
+            self.stats_collector.sample(self, now / 1000.0)
             if display is not None:
                 display.refresh(now)
             if self.tracker.db is not None and time.time() - last_db_check >= 30.0:
@@ -564,6 +602,16 @@ class App:
                 from ..io import stats as stats_io
 
                 stats_io.write_prom(self, args.write_prom, now)
+            if args.write_json:
+                from ..io import stats as stats_io
+
+                json_out.write_json_atomic(
+                    self.stats_collector.stats_json(self, now / 1000.0),
+                    os.path.join(args.write_json, "stats.json"),
+                )
+            self.stats_collector.cpu["background"] += (
+                time.perf_counter() - _bg_t0
+            ) * 1e3
             if args.write_state and time.time() - last_state >= args.write_state_every:
                 last_state = time.time()
                 from ..io import state as state_io

@@ -212,6 +212,12 @@ class Aircraft:
     lon: float = 0.0
     pos_nic: int = 0
     pos_rc: float = 0.0
+    # global-fix bookkeeping for local-CPR gating (track.h:464,515)
+    seen_pos_global: int = 0
+    local_cpr_allow_ac_rel: bool = False
+    surface_cpr_allow_ac_rel: bool = False
+    lat_reliable: float = 0.0
+    lon_reliable: float = 0.0
     pos_surface: bool = False
     position_valid: Validity = dataclasses.field(default_factory=Validity)
     pos_reliable_odd: float = 0.0
@@ -355,7 +361,7 @@ class Tracker:
         json_reliable: int = 1,
         receiver_lat: Optional[float] = None,
         receiver_lon: Optional[float] = None,
-        max_range_km: float = 450.0,
+        max_range_km: float = 450 * 1.852,  # 450 nmi (readsb.c:149)
         keep_traces: bool = False,
         json_trace_interval: int = 30 * SECONDS,
     ):
@@ -379,6 +385,15 @@ class Tracker:
         self.cpr_local_skipped = 0
         self.cpr_surface = 0
         self.cpr_airborne = 0
+        # fine-grained CPR accounting (stats.h cpr_* block)
+        self.cpr_global_speed_checks = 0
+        self.cpr_local_speed_checks = 0
+        self.cpr_local_range_checks = 0
+        self.cpr_local_aircraft_relative = 0
+        self.cpr_local_receiver_relative = 0
+        self.cpr_filtered = 0
+        self.tracks_all = 0
+        self.tracks_single_message = 0
         self.messages_total = 0
         # Mode A/C squawk-indexed count/match tables (track.c:56-59)
         import numpy as _np
@@ -399,6 +414,7 @@ class Tracker:
         a = self.aircraft.get(addr)
         if a is None:
             a = Aircraft(addr=addr)
+            self.tracks_all += 1
             if self.db is not None:
                 self.db.apply(a)
             self.aircraft[addr] = a
@@ -737,9 +753,14 @@ class Tracker:
             self.cpr_global_skipped += 1
 
         if result is None:
+            self._last_local_rel = 0
             result = self._do_local_cpr(a, mm, now)
             if result is not None:
                 self.cpr_local_ok += 1
+                if self._last_local_rel == 1:
+                    self.cpr_local_aircraft_relative += 1
+                elif self._last_local_rel == 2:
+                    self.cpr_local_receiver_relative += 1
             else:
                 self.cpr_local_skipped += 1
         elif used_global:
@@ -756,6 +777,10 @@ class Tracker:
         lat, lon = result
 
         if not self._speed_check(a, mm, lat, lon, now):
+            if used_global:
+                self.cpr_global_speed_checks += 1
+            else:
+                self.cpr_local_speed_checks += 1
             # implausible: decrement reliability unless rate-limited or
             # ignorable (track.c:2631-2639 gating around position_bad)
             if not (
@@ -797,24 +822,33 @@ class Tracker:
         pair = a.cpr_odd if mm.cpr_odd else a.cpr_even
         mm.decoded_nic = pair.nic
         mm.decoded_rc = pair.rc
-        if a.position_valid.valid(now, POS_RELIABLE_TIMEOUT) and a.seen_pos:
-            # range limit: 50s at 600kt + jitter allowance
-            elapsed = now - a.seen_pos
-            range_limit = 1852 * (100 + 600.0 * elapsed / 1000 / 3600)
+        if now < a.seen_pos_global + 10 * MINUTES and a.local_cpr_allow_ac_rel:
+            # aircraft-relative: allowed for 10 min after a global fix
+            # (track.c:862-881); fixed 100 NM limit — a wrong relative
+            # decode one cell off would need Mach 2.3 over the ground
+            range_limit = 1852 * 100
             ref = (a.lat, a.lon)
-            # aircraft-relative decode inherits the previous position's
-            # integrity when worse (doLocalCPR, track.c:864-869 — note the
-            # reference takes the SMALLER rc here; replicated as-is)
+            self._last_local_rel = 1
+            # inherits the previous position's integrity when worse
+            # (track.c:864-869 — note the reference takes the SMALLER rc
+            # here; replicated as-is)
             if a.pos_nic < mm.decoded_nic:
                 mm.decoded_nic = a.pos_nic
             if a.pos_rc < mm.decoded_rc:
                 mm.decoded_rc = a.pos_rc
         elif self.receiver_lat is not None and not surface:
-            range_limit = self.max_range_m
+            # receiver-relative: cell size >= 360 NM, so the usable radius
+            # shrinks once max_range passes half a cell and vanishes at a
+            # full cell (track.c:882-905); surface local CPR is never
+            # receiver-relative in the reference
+            if self.max_range_m == 0 or self.max_range_m >= 1852 * 360:
+                return None
+            if self.max_range_m <= 1852 * 180:
+                range_limit = self.max_range_m
+            else:
+                range_limit = 1852 * 360 - self.max_range_m
             ref = (self.receiver_lat, self.receiver_lon)
-        elif self.receiver_lat is not None and surface:
-            range_limit = 45 * 1852  # surface: must be near the receiver
-            ref = (self.receiver_lat, self.receiver_lon)
+            self._last_local_rel = 2
         else:
             return None
         out = cpr_mod.decode_relative(ref[0], ref[1], mm.cpr_lat, mm.cpr_lon, mm.cpr_odd, surface)
@@ -822,6 +856,13 @@ class Tracker:
             return None
         if greatcircle(ref[0], ref[1], out[0], out[1]) > range_limit:
             return None
+        # absolute receiver max-range check (track.c:930-950)
+        if self.receiver_lat is not None and self.max_range_m > 0:
+            if (
+                greatcircle(self.receiver_lat, self.receiver_lon, out[0], out[1])
+                > self.max_range_m
+            ):
+                return None
         return out
 
     def _surface_reference(self, a: Aircraft, mm: ModesMessage):
@@ -834,8 +875,9 @@ class Tracker:
             ref = self.receivers.get_reference(mm.receiver_id)
             if ref is not None:
                 return ref
-        if a.position_valid.valid(a.seen, POS_RELIABLE_TIMEOUT) and a.seen_pos:
-            return a.lat, a.lon
+        if a.seen_pos and a.surface_cpr_allow_ac_rel:
+            # last reliable position (track.c:770-773)
+            return a.lat_reliable, a.lon_reliable
         return None, None
 
     # -- duplicate / discard caches (track.c:312-421) -----------------------
@@ -1118,6 +1160,9 @@ class Tracker:
             mm.reduce_forward = True
         # reliability bump (incrementReliable, track.c:3686)
         inc = 1.0
+        if from_global:
+            a.seen_pos_global = now
+            a.local_cpr_allow_ac_rel = True
         if mm.cpr_odd:
             a.pos_reliable_odd = min(a.pos_reliable_odd + inc, 4.0)
             if from_global:
@@ -1126,6 +1171,11 @@ class Tracker:
             a.pos_reliable_even = min(a.pos_reliable_even + inc, 4.0)
             if from_global:
                 a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, 4.0)
+        if self.pos_reliable(a):
+            # reliable-position snapshot (setPosition, track.c:1172-1182)
+            a.lat_reliable = lat
+            a.lon_reliable = lon
+            a.surface_cpr_allow_ac_rel = True
 
         # polar range histogram vs our own location (track.c:252-300)
         if self.receiver_lat is not None:
@@ -1237,6 +1287,8 @@ class Tracker:
             a.cpr_odd.valid.expire(now)
             a.cpr_even.valid.expire(now)
         for addr in dead:
+            if self.aircraft[addr].messages < 2:
+                self.tracks_single_message += 1
             del self.aircraft[addr]
         return len(dead)
 

@@ -154,3 +154,27 @@ def test_api_all(app_run):
     assert "aircraft" in doc and "resultCount" in doc and "ptime" in doc
     assert doc["resultCount"] == len(doc["aircraft"])
     assert doc["resultCount"] >= 1
+
+
+def test_stats_json_windows(app_run):
+    """stats.json follows the reference's windowed contract
+    (README-json.md:263+, statsUpdate stats.c:470)."""
+    f = app_run["json_files"].get("stats.json")
+    assert f is not None, list(app_run["json_files"])
+    doc = json.loads(f.read_text())
+    for k in ("latest", "last1min", "last5min", "last15min", "total"):
+        assert k in doc, doc.keys()
+        blk = doc[k]
+        assert "start" in blk and "end" in blk
+        assert "cpu" in blk and set(blk["cpu"]) == {"demod", "reader", "background"}
+        assert "cpr" in blk and "global_ok" in blk["cpr"]
+        assert "tracks" in blk and "messages" in blk
+    tot = doc["total"]
+    assert tot["local"]["samples_processed"] > 0
+    assert tot["local"]["modes"] > 0  # preambles
+    assert sum(tot["local"]["accepted"]) > 10
+    assert tot["messages"] > 10
+    assert tot["cpu"]["demod"] > 0
+    assert tot["cpr"]["global_ok"] > 0
+    assert tot["tracks"]["all"] >= 3
+    assert tot["local"]["signal"] < 0  # dBFS, negative

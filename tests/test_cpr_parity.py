@@ -1,10 +1,12 @@
-"""CPR pipeline counter parity vs the reference binary on one capture.
+"""CPR pipeline parity vs the reference binary on one capture.
 
 Runs both implementations over the same synthetic multi-aircraft capture
-(with positions and real kinematics) and compares the CPR accounting.
-Global decode counts must match exactly.  Local CPR: this implementation
-accepts receiver-relative decodes for pre-first-fix positions that the
-reference rejects - tracked as a known gap (see tracker._do_local_cpr).
+(with positions and real kinematics) and compares (a) the CPR stats
+counters and (b) the full accepted-position SET via each side's
+per-position json output port (jsonPositionOutput, net_io.c:3407) on a
+throttled replay.  The round-2 local-CPR divergence (receiver-relative
+decodes the reference refuses) is closed: _do_local_cpr now replicates
+track.c:843-966's gating including the max-range cell-ambiguity fold.
 """
 
 import re
@@ -62,3 +64,73 @@ def test_cpr_counters_match_reference(capture_pos):
 
     assert got_ok == ref["global_ok"], (got_ok, ref)
     assert got_bad == ref["global_bad"], (got_bad, ref)
+
+
+def _collect_positions(cmd, port, timeout_s=90):
+    """Run a readsb-style process with --net-json-port, collect accepted
+    positions as [(hex, lat, lon)] from the per-position json stream."""
+    import json
+    import socket
+    import time
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=str(REPO)
+    )
+    sock = None
+    deadline = time.time() + 15
+    try:
+        while time.time() < deadline and sock is None:
+            try:
+                sock = socket.create_connection(("127.0.0.1", port), timeout=1)
+            except OSError:
+                if proc.poll() is not None:
+                    raise AssertionError("process exited before listening")
+                time.sleep(0.2)
+        assert sock is not None, "could not connect to json position port"
+        sock.settimeout(2)
+        buf = b""
+        end = time.time() + timeout_s
+        while time.time() < end:
+            try:
+                chunk = sock.recv(65536)
+            except socket.timeout:
+                if proc.poll() is not None:
+                    break
+                continue
+            if not chunk:
+                break
+            buf += chunk
+        out = []
+        for line in buf.split(b"\n"):
+            line = line.strip()
+            if not line:
+                continue
+            o = json.loads(line)
+            if "lat" in o:
+                out.append((o["hex"], round(o["lat"], 4), round(o["lon"], 4)))
+        return out
+    finally:
+        if sock is not None:
+            sock.close()
+        proc.kill()
+        proc.wait()
+
+
+def test_cpr_accepted_position_sets_match(capture_pos):
+    """Accepted-position-set parity on a throttled replay (track.c:843-966)."""
+    if not REFERENCE_BIN.exists():
+        pytest.skip("reference binary not built")
+    ref_pos = _collect_positions(
+        [str(REFERENCE_BIN), "--device-type", "ifile", "--ifile", capture_pos,
+         "--iformat", "uc8", "--throttle", "--quiet", "--net",
+         "--net-json-port", "31947", "--lat", "47.5", "--lon", "8.5"],
+        31947,
+    )
+    got_pos = _collect_positions(
+        [sys.executable, "-m", "readsb_tpu.app.main", "--device-type", "ifile",
+         "--ifile", capture_pos, "--iformat", "uc8", "--throttle", "--quiet",
+         "--net", "--net-json-port", "31948", "--lat", "47.5", "--lon", "8.5"],
+        31948,
+    )
+    assert len(ref_pos) > 10
+    assert sorted(got_pos) == sorted(ref_pos)
