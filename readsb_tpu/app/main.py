@@ -543,6 +543,9 @@ class App:
             self.drain_net_queue()
             now = self.now_ms()
             self.stats_collector.sample(self, now / 1000.0)
+            if getattr(self, "api_server", None) is not None:
+                # double-buffered query snapshot swap (apiUpdate, api.c:859)
+                self.api_server.update(now)
             if display is not None:
                 display.refresh(now)
             if self.tracker.db is not None and time.time() - last_db_check >= 30.0:
@@ -666,8 +669,8 @@ class App:
         if args.net_api_port:
             from ..io.api import ApiServer
 
-            api = ApiServer(self)
-            await api.listen(args.net_api_port)
+            self.api_server = ApiServer(self)
+            await self.api_server.listen(args.net_api_port)
         for spec in args.net_connector:
             parts = spec.split(",")
             host, port, proto = parts[0], int(parts[1]), parts[2]
