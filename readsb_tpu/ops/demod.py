@@ -364,6 +364,38 @@ def _pack_plane_words(planes: jax.Array) -> jax.Array:
     return jnp.sum(shifted, axis=-1)  # exact: disjoint bits
 
 
+def win_rows(corrbits: jax.Array, pwords: jax.Array, scan_len: int):
+    """Build the (nv, 128) candidate win rows (see stage-4 layout note).
+
+    Per 256-sample block v: lanes 0..94 = five slicer planes x 19 packed
+    words, 95..118 = three correlation bitplanes x 8 words, rest zero.
+    Pure reshapes/concats — no gather.
+    """
+    nv = (scan_len + 255) // 256
+    need = 8 * nv + WIN_PLANE_WORDS
+    nw = pwords.shape[1]
+    pw = jnp.pad(pwords, ((0, 0), (0, need - nw))) if nw < need else pwords
+    a = pw[:, : 8 * nv].reshape(5, nv, 8)
+    b = pw[:, 8 : 8 * nv + 8].reshape(5, nv, 8)
+    c3 = pw[:, 16 : 8 * nv + 16].reshape(5, nv, 8)[..., :3]
+    wp = jnp.concatenate([a, b, c3], axis=-1)  # (5, nv, 19)
+    wp = jnp.transpose(wp, (1, 0, 2)).reshape(nv, 5 * WIN_PLANE_WORDS)
+
+    clen = 256 * nv
+    cpad = corrbits
+    if cpad.shape[0] < clen:
+        cpad = jnp.pad(cpad, (0, clen - cpad.shape[0]))
+    cpad = cpad[:clen].astype(jnp.int32)
+    cpl = jnp.stack([((cpad >> i) & 1) != 0 for i in range(3)])  # (3, clen)
+    cw = _pack_plane_words(cpl).reshape(3, nv, 8)
+    cw3 = jnp.transpose(cw, (1, 0, 2)).reshape(nv, 24)
+
+    win = jnp.concatenate(
+        [wp, cw3, jnp.zeros((nv, 128 - WIN_CORR_BASE - 24), jnp.int32)], axis=1
+    )  # (nv, 128)
+    return win, nv
+
+
 def window_sums(offsets, cs_hi, cs_lo):
     """Exact split hi/lo mag^2 sums over the long/short message bodies.
 
@@ -440,34 +472,31 @@ def _demod_core(
     offsets = jax.lax.optimization_barrier(offsets)
 
     # --- stage 4a: build win rows (dense reshapes, no gather) ---------------
-    nv = (scan_len + 255) // 256
-    need = 8 * nv + WIN_PLANE_WORDS
-    nw = pwords.shape[1]
-    pw = jnp.pad(pwords, ((0, 0), (0, need - nw))) if nw < need else pwords
-    a = pw[:, : 8 * nv].reshape(5, nv, 8)
-    b = pw[:, 8 : 8 * nv + 8].reshape(5, nv, 8)
-    c3 = pw[:, 16 : 8 * nv + 16].reshape(5, nv, 8)[..., :3]
-    wp = jnp.concatenate([a, b, c3], axis=-1)  # (5, nv, 19)
-    wp = jnp.transpose(wp, (1, 0, 2)).reshape(nv, 5 * WIN_PLANE_WORDS)
-
-    clen = 256 * nv
-    cpad = corrbits
-    if cpad.shape[0] < clen:
-        cpad = jnp.pad(cpad, (0, clen - cpad.shape[0]))
-    cpad = cpad[:clen].astype(jnp.int32)
-    cpl = jnp.stack([((cpad >> i) & 1) != 0 for i in range(3)])  # (3, clen)
-    cw = _pack_plane_words(cpl).reshape(3, nv, 8)
-    cw3 = jnp.transpose(cw, (1, 0, 2)).reshape(nv, 24)
-
-    win = jnp.concatenate(
-        [wp, cw3, jnp.zeros((nv, 128 - WIN_CORR_BASE - 24), jnp.int32)], axis=1
-    )  # (nv, 128)
+    win, nv = win_rows(corrbits, pwords, scan_len)
     win = jax.lax.optimization_barrier(win)
 
     # --- stage 4b: ONE row gather + static extraction ------------------------
     v_idx = jnp.clip(offsets >> 8, 0, nv - 1)
     rows = win[v_idx]  # (K, 128) — whole-row gather, the TPU-friendly shape
     rows = jax.lax.optimization_barrier(rows)
+
+    from . import pallas_kernels as pk
+
+    if pk.supported() and k % pk.EX_ROWS == 0:
+        # fused Pallas extraction: intermediates never leave VMEM
+        comb = pk.extract_syndromes_pallas(rows, offsets)
+        syn112 = comb[:, 0:5]
+        syn56 = comb[:, 5:10]
+        msg = comb[:, 10:80].reshape(k, NUM_PHASES, 14).astype(jnp.uint8)
+        corr_fired = (comb[:, 80:83] != 0) & (offsets < scan_len)[:, None]
+        zeros2 = jnp.zeros((k, 2), jnp.int32)
+        bc = BlockCandidates(
+            offsets=offsets, n_cand=n_cand, max_local=max_local,
+            corr_fired=corr_fired, msg=msg, syn112=syn112, syn56=syn56,
+            sig_long=zeros2, sig_short=zeros2,
+        )
+        return bc, cs_hi, cs_lo
+
     s = offsets & 255
     wrot = s >> 5  # 0..7: word rotation within the 19-word windows
     sb = s & 31  # residual bit shift

@@ -304,6 +304,152 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
     return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# Per-candidate extraction + syndromes: rows -> (syn112, syn56, msg, corr)
+# ---------------------------------------------------------------------------
+#
+# XLA's lowering of the same computation materializes every intermediate
+# ((K,5,12) rotations, (K,560) bits, (K,310) counts) through HBM — ~33 ms
+# per 8.4M-sample superblock (round-3 ablation).  In one Pallas pass all
+# intermediates live in VMEM/vregs and the two matmuls hit the MXU:
+#   1. word-rotate + bit-shift each candidate's win row by offset&255
+#   2. static grouped bit-picks -> (rows, 560) 0/1 bits
+#   3. bits @ M1 -> per-phase CRC bit-counts + message bytes (exact < 256)
+#   4. (counts & 1) @ M2 -> syndrome values (sums of distinct 2^k, exact)
+# Output lanes: 0:5 syn112[phase], 5:10 syn56[phase], 10:80 msg bytes
+# (phase-major, 14 per phase), 80:83 correlation-lane bits, rest zero.
+
+EX_ROWS = 512
+EX_BITS = 640  # 560 used, zero-padded for the MXU
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_mats():
+    """(M1 f32[EX_BITS, 320], M2 f32[320, 16], SH i32[1, EX_BITS]) — the
+    matmul weights plus the flat per-output-bit shift table (kernels may
+    not capture traced constants; SH rides in as an input)."""
+    from .demod import _extract_plan
+
+    plan, m_np = _extract_plan()  # m_np (560, 310)
+    m1 = np.zeros((EX_BITS, 320), np.float32)
+    m1[:560, :310] = m_np
+    m2 = np.zeros((320, 16), np.float32)
+    for p in range(5):
+        for j in range(24):
+            m2[p * 62 + j, p] = float(1 << (23 - j))  # syn112
+        for j in range(24):
+            m2[p * 62 + 24 + j, 5 + p] = float(1 << (23 - j))  # syn56
+    sh = np.zeros((1, EX_BITS), np.int32)
+    c = 0
+    for _pl, _j, shifts in plan:
+        sh[0, c : c + len(shifts)] = shifts
+        c += len(shifts)
+    return m1, m2, sh
+
+
+def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, sh_ref, out_ref):
+    from .demod import WIN_CORR_BASE, WIN_PLANE_WORDS, _extract_plan
+
+    plan, _ = _extract_plan()
+    rows = rows_ref[:]
+    off = off_ref[:]  # (EX_ROWS, 1) int32
+    s = off & 255
+    wrot = s >> 5
+    sb = s & 31
+
+    # rotate each plane's 19-word window by wrot words -> 12 aligned words
+    sw_pre = jnp.zeros((EX_ROWS, 60), jnp.int32)
+    for r in range(8):
+        sl = jnp.concatenate(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )
+        sw_pre = jnp.where(wrot == r, sl, sw_pre)
+    lo = jnp.concatenate(
+        [sw_pre[:, p * 12 : p * 12 + 11] for p in range(5)], axis=1
+    )  # (EX_ROWS, 55)
+    hi = jnp.concatenate(
+        [sw_pre[:, p * 12 + 1 : p * 12 + 12] for p in range(5)], axis=1
+    )
+    shl = (32 - sb) & 31
+    sw = jax.lax.shift_right_logical(lo, sb) | jnp.where(
+        sb == 0, 0, jnp.left_shift(hi, shl)
+    )
+
+    parts = []
+    c0 = 0
+    for pl_, j, shifts in plan:
+        g = len(shifts)
+        col = sw[:, pl_ * 11 + j : pl_ * 11 + j + 1]
+        sh = sh_ref[:, c0 : c0 + g]
+        c0 += g
+        parts.append(jax.lax.shift_right_logical(col, sh) & 1)
+    parts.append(jnp.zeros((EX_ROWS, EX_BITS - c0), jnp.int32))
+    bits = jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+
+    counts = jax.lax.dot(
+        bits, m1_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX_ROWS, 320), exact integers < 256
+    parity = (counts & 1).astype(jnp.bfloat16)
+    syn = jax.lax.dot(
+        parity, m2_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX_ROWS, 16): sums of distinct 2^k, exact
+
+    msg = jnp.concatenate(
+        [counts[:, p * 62 + 48 : p * 62 + 62] for p in range(5)], axis=1
+    )  # (EX_ROWS, 70)
+
+    corr_parts = []
+    for c in range(3):
+        wsel = jnp.zeros((EX_ROWS, 1), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(
+                wrot == r, rows[:, WIN_CORR_BASE + c * 8 + r : WIN_CORR_BASE + c * 8 + r + 1], wsel
+            )
+        corr_parts.append(jax.lax.shift_right_logical(wsel, sb) & 1)
+    corr = jnp.concatenate(corr_parts, axis=1)  # (EX_ROWS, 3)
+
+    out_ref[:] = jnp.concatenate(
+        [syn[:, :10], msg, corr, jnp.zeros((EX_ROWS, 128 - 83), jnp.int32)],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_syndromes_pallas(
+    rows: jax.Array, offsets: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """(K,128) win rows + (K,) offsets -> (K,128) packed results.
+
+    Lanes 0:5 syn112 per phase, 5:10 syn56, 10:80 msg bytes (phase-major),
+    80:83 correlation-lane bits.  K must be a multiple of EX_ROWS.
+    """
+    k = rows.shape[0]
+    assert k % EX_ROWS == 0, k
+    m1, m2, sh = _extract_mats()
+    return pl.pallas_call(
+        _extract_kernel,
+        out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
+        grid=(k // EX_ROWS,),
+        in_specs=[
+            pl.BlockSpec((EX_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EX_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EX_BITS, 320), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((320, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, EX_BITS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EX_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        offsets.reshape(k, 1),
+        rows,
+        jnp.asarray(m1),
+        jnp.asarray(m2),
+        jnp.asarray(sh),
+    )
+
+
 def supported() -> bool:
     """True when the native Mosaic path is available (a real TPU backend)."""
     try:

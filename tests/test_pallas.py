@@ -62,3 +62,50 @@ def test_uc8_pallas_matches_jnp_on_noise():
     a = np.asarray(pk.mag_uc8_pallas(jnp.asarray(raw), interpret=_interpret()))
     b = np.asarray(convert_ops.mag_uc8(jnp.asarray(raw)))
     assert (a == b).all()
+
+
+def test_extract_syndromes_kernel_bit_equality():
+    """Fused Pallas extraction == the pure-jnp stage-4/5 chain, bit for bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from readsb_tpu.constants import TRAILING_SAMPLES
+    from readsb_tpu.ops import demod as demod_ops
+    from readsb_tpu.ops.pallas_kernels import extract_syndromes_pallas
+    from tools.synth import build_standard_capture
+
+    cap = build_standard_capture(duration_s=0.2, n_aircraft=3, seed=13)
+    iq = cap.render_iq()
+    i8 = np.clip(np.round(iq.real * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    q8 = np.clip(np.round(iq.imag * 127.5 + 127.5), 0, 255).astype(np.uint8)
+    mag = np.asarray(
+        jnp.asarray((i8.astype(np.uint16) << 0), jnp.uint16)
+    )  # placeholder, real conversion below
+    from readsb_tpu.ops import convert as convert_ops
+
+    raw = np.empty(len(iq) * 2, dtype=np.uint8)
+    raw[0::2] = i8
+    raw[1::2] = q8
+    magj = convert_ops.mag_uc8(jnp.asarray(raw))
+    scan_len = (int(magj.shape[0]) - TRAILING_SAMPLES) // 512 * 512
+    buf = magj[: scan_len + TRAILING_SAMPLES]
+
+    k = 8192
+    bc, cs_hi, cs_lo = demod_ops._demod_core(buf, 58, k=k, scan_len=scan_len, l=64)
+    n = int(bc.n_cand)
+    assert 0 < n < k
+
+    corrbits, pwords, _, _ = demod_ops._dense_stages_jnp(buf, 58)
+    win, nv = demod_ops.win_rows(corrbits, pwords, scan_len)
+    rows = win[jnp.clip(bc.offsets >> 8, 0, nv - 1)]
+    comb = np.asarray(extract_syndromes_pallas(rows, bc.offsets, interpret=True))
+
+    np.testing.assert_array_equal(comb[:n, 0:5], np.asarray(bc.syn112)[:n])
+    np.testing.assert_array_equal(comb[:n, 5:10], np.asarray(bc.syn56)[:n])
+    np.testing.assert_array_equal(
+        comb[:n, 10:80].reshape(n, 5, 14).astype(np.uint8), np.asarray(bc.msg)[:n]
+    )
+    valid = np.asarray(bc.offsets)[:n] < scan_len
+    np.testing.assert_array_equal(
+        (comb[:n, 80:83] != 0) & valid[:, None], np.asarray(bc.corr_fired)[:n]
+    )

@@ -213,6 +213,20 @@ def v_matmul(raw_u8, ov, t):
 timeit("+matmul/syndromes", v_matmul, raw_j, overlap, thr)
 
 
+@jax.jit
+def v_kernel(raw_u8, ov, t):
+    corrbits, pwords, cs_hi, cs_lo = common(raw_u8, ov, t)
+    cand = (corrbits[:SCAN] & 8) != 0
+    offsets, max_local = _compact_two_level(cand, K, L, SCAN)
+    win, nv = demod_ops.win_rows(corrbits, pwords, SCAN)
+    rows = win[jnp.clip(offsets >> 8, 0, nv - 1)]
+    comb = pk.extract_syndromes_pallas(rows, offsets)
+    return comb[::64], offsets[::64], cs_hi[::4096]
+
+
+timeit("+extract KERNEL", v_kernel, raw_j, overlap, thr)
+
+
 full = jax.jit(
     lambda r, ov, t: demod_ops.demod_block(
         jnp.concatenate([ov, pl_mod._to_mag(r, "uc8")]), t,
