@@ -18,17 +18,22 @@ from tools.synth import encode_df17_position, encode_df11
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 
-# build a realistic mixed frame set: 200 aircraft, positions + DF11
+# realistic aggregator frame mix: 5000 aircraft, alternating odd/even
+# moving positions + DF11 (so the full CPR chain runs)
+N_AC = 5000
 rng = np.random.default_rng(0)
 msgs = []
 for i in range(N):
-    addr = 0x400000 + (i % 200)
-    if i % 5 == 0:
+    ac = i % N_AC
+    addr = 0x400000 + ac
+    seq = i // N_AC  # per-aircraft message counter
+    if seq % 5 == 4:
         msgs.append(encode_df11(addr))
     else:
-        lat = 50.0 + (addr % 100) * 0.01
+        lat = 45.0 + (ac % 70) * 0.1 + seq * 0.0002
+        lon = -5.0 + (ac // 70) * 0.1
         msgs.append(
-            encode_df17_position(addr, lat, 4.0 + (i % 7) * 0.01, 30000 + i % 1000, i % 2)
+            encode_df17_position(addr, lat, lon, 30000 + ac % 1000, seq % 2)
         )
 
 frames = [
@@ -49,3 +54,46 @@ print(
     f"net ingest: {N} msgs in {dt*1e3:.0f} ms -> {N/dt/1e3:.0f}k msgs/s "
     f"({len(app.tracker.aircraft)} aircraft, {app.messages} tracked)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Columnar path (BulkTracker): the production aggregator rate
+# ---------------------------------------------------------------------------
+
+def bench_bulk(n=N):
+    from readsb_tpu.decode.batch import decode_columns
+    from readsb_tpu.track.bulk import BulkTracker
+
+    msgs_np = np.zeros((len(msgs), 14), np.uint8)
+    for i, m in enumerate(msgs):
+        msgs_np[i, : len(m)] = np.frombuffer(m, np.uint8)
+    ts = (1_000_000 + np.arange(len(msgs)) // 100).astype(np.int64)
+    addrs = np.array([0x400000 + (i % 5000) for i in range(len(msgs))], np.int64)
+
+    bulk = BulkTracker(50.5, 4.0)
+    chunk = 8192  # one drain batch
+    t0 = time.perf_counter()
+    for a in range(0, len(msgs), chunk):
+        cols = decode_columns(msgs_np[a : a + chunk], ts[a : a + chunk], addrs[a : a + chunk])
+        bulk.update_batch(cols)
+    dt = time.perf_counter() - t0
+    rate = len(msgs) / dt
+    print(
+        f"bulk ingest: {len(msgs)} msgs in {dt*1e3:.0f} ms -> {rate/1e3:.0f}k msgs/s "
+        f"({bulk.n_slots} aircraft, global_ok={bulk.cpr_global_ok})"
+    )
+    return rate
+
+
+rate_bulk = bench_bulk()
+
+import json, os
+art = {
+    "scalar_msgs_per_s": round(N / dt),
+    "bulk_msgs_per_s": round(rate_bulk),
+    "n_msgs": N,
+    "note": "aggregator ingest: beast frames -> decode -> track; scalar = per-message Python path, bulk = columnar BulkTracker (decode/batch.py + track/bulk.py)",
+}
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NET.json"), "w") as f:
+    json.dump(art, f, indent=1)
+print("artifact: BENCH_NET.json", art)
