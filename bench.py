@@ -136,7 +136,12 @@ def run():
         t0 = time.perf_counter()
         for _ in range(reps):
             out = dev_call()
-        jax.block_until_ready(out)
+            # per-rep scalar readback: through the axon relay
+            # block_until_ready alone has been caught reporting
+            # fire-and-forget mirages even after poisoning; the explicit
+            # transfer makes every rep honest (costs ~1 relay RTT, which
+            # a real streaming deployment pays anyway)
+            int(out[0].n_keep)
         best_dev = min(best_dev, (time.perf_counter() - t0) / reps)
     dev_msps = total / best_dev / 1e6
 
