@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--net-connector", action="append", default=[],
                    help="host,port,protocol outbound connection")
     p.add_argument("--net-heartbeat", type=float, default=60.0)
+    p.add_argument("--net-ingest", action="store_true",
+                   help="aggregator ingest mode: ping/RTT feeder health checks")
+    p.add_argument("--ping-reject", type=float, default=300.0,
+                   help="shed feeders whose ping RTT EMA exceeds this (ms)")
+    p.add_argument("--uuid-file", default=None,
+                   help="receiver UUID sent on beast_reduce_plus connections")
     p.add_argument("--net-ro-interval", type=float, default=0.05)
     p.add_argument("--net-ro-size", type=int, default=1200)
 

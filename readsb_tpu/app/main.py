@@ -72,9 +72,24 @@ class App:
         from ..io.stats import StatsCollector
 
         self.stats_collector = StatsCollector()
-        self.out_raw = self.net.add_output("raw_out")
-        self.out_beast = self.net.add_output("beast_out")
-        self.out_sbs = self.net.add_output("sbs_out")
+        hb = args.net_heartbeat
+        # heartbeat payloads per wire format (net_io.c:109-126)
+        self.out_raw = self.net.add_output(
+            "raw_out", heartbeat=b"*0000;\n", heartbeat_interval=hb
+        )
+        self.out_beast = self.net.add_output(
+            "beast_out",
+            heartbeat=b"\x1a1" + b"\x00" * 9,
+            heartbeat_interval=hb,
+        )
+        self.out_sbs = self.net.add_output(
+            "sbs_out", heartbeat=b"\r\n", heartbeat_interval=hb
+        )
+        # SBS priority-variant lanes (net_io.c:951-984): routed by source
+        self.out_sbs_mlat = self.net.add_output("sbs_out_mlat", heartbeat=b"\r\n", heartbeat_interval=hb)
+        self.out_sbs_prio = self.net.add_output("sbs_out_prio", heartbeat=b"\r\n", heartbeat_interval=hb)
+        self.out_sbs_jaero = self.net.add_output("sbs_out_jaero", heartbeat=b"\r\n", heartbeat_interval=hb)
+        self.out_sbs_replay = self.net.add_output("sbs_out_replay", heartbeat=b"\r\n", heartbeat_interval=hb)
         self.out_json = self.net.add_output("json_out")
         self.out_garbage = self.net.add_output("garbage_out")
         self.out_uat_replay = self.net.add_output("uat_replay_out")
@@ -119,10 +134,23 @@ class App:
             self.out_beast.send(
                 beast_io.encode_frame(mm.msg, raw_ts, signal, modeac=len(mm.msg) == 2)
             )
-        if self.out_sbs.clients:
+        sbs_lanes = []
+        is_mlat = mm.source == Source.MLAT
+        if self.out_sbs.clients and not is_mlat:
+            sbs_lanes.append(self.out_sbs)
+        if self.out_sbs_mlat.clients and is_mlat:
+            sbs_lanes.append(self.out_sbs_mlat)
+        if self.out_sbs_prio.clients and mm.source == Source.PRIO:
+            sbs_lanes.append(self.out_sbs_prio)
+        if self.out_sbs_jaero.clients and mm.source == Source.JAERO:
+            sbs_lanes.append(self.out_sbs_jaero)
+        if self.out_sbs_replay.clients and getattr(mm, "sbs_in", False):
+            sbs_lanes.append(self.out_sbs_replay)
+        if sbs_lanes:
             line = sbs_io.encode_line(mm, now_ms=mm.sys_timestamp_ms)
             if line:
-                self.out_sbs.send(line)
+                for lane in sbs_lanes:
+                    lane.send(line)
         if self.out_json.clients and mm.cpr_decoded:
             import json as _json
 
@@ -218,6 +246,21 @@ class App:
             def __init__(self):
                 self.deframer = beast_io.BeastDeframer()
                 self.scorer = app._net_scorer()
+                self.ping_state = None  # set by InputService when ping=True
+
+            def _drain_controls(self) -> None:
+                if not self.deframer.commands:
+                    return
+                cmds, self.deframer.commands = self.deframer.commands, []
+                ps = self.ping_state
+                if ps is None:
+                    return
+                for c in cmds:
+                    if c[:1] == b"W" and c[1:2] == b"O":
+                        ps.enabled = True  # 'WO': high-res ping opt-in
+                    elif c[:1] == b"P" and len(c) >= 4:
+                        val = (c[1] << 16) | (c[2] << 8) | c[3]
+                        ps.pong(val, app.now_ms() if app._demod else int(time.time() * 1000))
 
             async def feed(self, data: bytes) -> None:
                 for bf in self.deframer.feed(data):
@@ -234,6 +277,7 @@ class App:
                     if len(bf.msg) not in (7, 14):
                         continue
                     app._handle_net_frame(self.scorer, bf)
+                self._drain_controls()
 
         return BeastIn
 
@@ -612,6 +656,11 @@ class App:
                     self.stats_collector.stats_json(self, now / 1000.0),
                     os.path.join(args.write_json, "stats.json"),
                 )
+                json_out.write_json_atomic(
+                    self.clients_json(now),
+                    os.path.join(args.write_json, "clients.json"),
+                )
+                self._check_state_triggers(now)
             self.stats_collector.cpu["background"] += (
                 time.perf_counter() - _bg_t0
             ) * 1e3
@@ -620,6 +669,108 @@ class App:
                 from ..io import state as state_io
 
                 state_io.save_state(self.tracker, args.write_state, now)
+
+    def _uuid_bytes(self) -> bytes:
+        """16-byte receiver UUID (sendUUID, net_io.c:372)."""
+        if getattr(self, "_uuid_cache", None) is None:
+            import uuid as _uuid
+
+            u = None
+            if self.args.uuid_file and os.path.exists(self.args.uuid_file):
+                try:
+                    u = _uuid.UUID(open(self.args.uuid_file).read().strip())
+                except ValueError:
+                    u = None
+            self._uuid_cache = (u or _uuid.uuid4()).bytes
+        return self._uuid_cache
+
+    async def _command_socket(self, path: str) -> None:
+        """Unix command socket (handleCommandSocket, net_io.c:3718)."""
+
+        async def handle(reader, writer):
+            try:
+                while True:
+                    line = await reader.readline()
+                    if not line:
+                        break
+                    toks = line.decode("latin1", "replace").split()
+                    if not toks:
+                        continue
+                    if toks[0] == "deleteTrace" and len(toks) >= 4:
+                        try:
+                            hexid = int(toks[1], 16)
+                            t_from, t_to = int(toks[2]), int(toks[3])
+                        except ValueError:
+                            continue
+                        a = self.tracker.aircraft.get(hexid)
+                        if a is not None and getattr(a, "trace", None) is not None:
+                            a.trace.delete_range(t_from * 1000, t_to * 1000)
+                        log.warning("cmd.sock: deleteTrace %06x %d %d", hexid, t_from, t_to)
+                    else:
+                        log.warning("cmd.sock: unrecognized command %r", toks[0])
+            except Exception:
+                pass
+            finally:
+                try:
+                    writer.close()
+                except Exception:
+                    pass
+
+        try:
+            server = await asyncio.start_unix_server(handle, path=path)
+            self.net.servers.append(server)
+        except (OSError, NotImplementedError) as e:
+            log.warning("cmd.sock unavailable: %s", e)
+
+    def _check_state_triggers(self, now: int) -> None:
+        """getState / replaceState trigger files: zero-downtime state
+        export / hot-swap (readsb.c:2412-2485, replicate_state.sh)."""
+        from ..io import state as state_io
+
+        jd = self.args.write_json
+        if not jd:
+            return
+        get_dir = os.path.join(jd, "getState")
+        trig = os.path.join(get_dir, "writeState")
+        if os.path.exists(trig):
+            try:
+                txt = open(trig).read().strip()
+                if len(txt) == 2:  # single blob by hex suffix
+                    state_io.save_blob(self.tracker, get_dir, int(txt, 16))
+                else:
+                    state_io.save_state(self.tracker, get_dir, now)
+            finally:
+                # unlink after writing: shell scripts poll for completion
+                try:
+                    os.unlink(trig)
+                except OSError:
+                    pass
+            log.warning("getState: state written to %s", get_dir)
+        rep_dir = os.path.join(jd, "replaceState")
+        if os.path.isdir(rep_dir):
+            n = state_io.load_state(self.tracker, rep_dir)
+            import shutil
+
+            shutil.rmtree(rep_dir, ignore_errors=True)
+            log.warning("replaceState: %d aircraft hot-swapped in", n)
+
+    def clients_json(self, now: int) -> dict:
+        """clients.json: connected-client inventory (json_out.c:2247)."""
+        clients = []
+        for name, svc in self.net.outputs.items():
+            for w in svc.clients:
+                peer = w.get_extra_info("peername")
+                opts = svc.client_opts.get(id(w), {})
+                clients.append(
+                    {
+                        "service": name,
+                        "host": (peer[0] if peer else "?"),
+                        "port": (peer[1] if peer else 0),
+                        "modeac": bool(opts.get("modeac")),
+                    }
+                )
+        return {"now": now / 1000.0, "clients": clients,
+                "clients_shed": sum(s.clients_shed for s in self.net.outputs.values())}
 
     async def setup_net(self) -> None:
         args = self.args
@@ -631,13 +782,21 @@ class App:
             await self.net.listen_output(self.out_beast, args.net_bo_port)
         if args.net_sbs_port:
             await self.net.listen_output(self.out_sbs, args.net_sbs_port)
+            if args.net_sbs_port % 10 == 5:
+                await self.net.listen_output(self.out_sbs_replay, args.net_sbs_port + 1)
+                await self.net.listen_output(self.out_sbs_mlat, args.net_sbs_port + 2)
+                await self.net.listen_output(self.out_sbs_prio, args.net_sbs_port + 3)
+                await self.net.listen_output(self.out_sbs_jaero, args.net_sbs_port + 4)
         if args.net_json_port:
             await self.net.listen_output(self.out_json, args.net_json_port)
         if args.net_garbage_port:
             await self.net.listen_output(self.out_garbage, args.net_garbage_port)
         if args.net_bi_port:
             await self.net.listen_input(
-                InputService("beast_in", self._beast_input_factory()), args.net_bi_port
+                InputService(
+                    "beast_in", self._beast_input_factory(),
+                    ping=args.net_ingest, reject_ms=args.ping_reject,
+                ), args.net_bi_port
             )
         if args.net_ri_port:
             await self.net.listen_input(
@@ -655,6 +814,19 @@ class App:
             await self.net.listen_input(
                 InputService("sbs_in", self._sbs_input_factory()), args.net_sbs_in_port
             )
+            if args.net_sbs_in_port % 10 == 5:
+                await self.net.listen_input(
+                    InputService("sbs_in_mlat", self._sbs_input_factory(Source.MLAT)),
+                    args.net_sbs_in_port + 2,
+                )
+                await self.net.listen_input(
+                    InputService("sbs_in_prio", self._sbs_input_factory(Source.PRIO)),
+                    args.net_sbs_in_port + 3,
+                )
+                await self.net.listen_input(
+                    InputService("sbs_in_jaero", self._sbs_input_factory(Source.JAERO)),
+                    args.net_sbs_in_port + 4,
+                )
         if args.net_ai_port:
             await self.net.listen_input(
                 InputService("asterix_in", self._asterix_input_factory()),
@@ -666,6 +838,9 @@ class App:
             await self.net.listen_output(
                 self.out_beast_reduce, args.net_beast_reduce_out_port
             )
+        if args.write_json:
+            os.makedirs(args.write_json, exist_ok=True)
+            await self._command_socket(os.path.join(args.write_json, "cmd.sock"))
         if args.net_api_port:
             from ..io.api import ApiServer
 
@@ -674,6 +849,26 @@ class App:
         for spec in args.net_connector:
             parts = spec.split(",")
             host, port, proto = parts[0], int(parts[1]), parts[2]
+            if proto == "beast_reduce_plus_out":
+                # UUID + high-res-ping handshake on connect
+                # (net_io.c:372,1064-1066,4897)
+                async def _hello(w, app=self):
+                    w.write(b"\x1a\xe4" + app._uuid_bytes() + b"\x1aWO")
+
+                self.net.add_connector(
+                    Connector(host, port, output=self.out_beast_reduce, on_connect=_hello)
+                )
+                continue
+            if proto in ("sbs_in_mlat", "sbs_in_jaero", "sbs_in_prio"):
+                src = {
+                    "sbs_in_mlat": Source.MLAT,
+                    "sbs_in_jaero": Source.JAERO,
+                    "sbs_in_prio": Source.PRIO,
+                }[proto]
+                self.net.add_connector(
+                    Connector(host, port, input_factory=self._sbs_input_factory(src))
+                )
+                continue
             if proto in ("beast_in",):
                 self.net.add_connector(
                     Connector(host, port, input_factory=self._beast_input_factory())

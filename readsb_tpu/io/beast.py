@@ -105,8 +105,10 @@ class BeastDeframer:
                 body_len = 7 + self.MSG_LEN[t]
             elif t in self.PREFIX_LEN:
                 body_len = self.PREFIX_LEN[t]
-            elif t in (ord("P"), ord("W")):
-                body_len = 3
+            elif t == ord("P"):
+                body_len = 3  # 24-bit ping value (net_io.c:4885-4895)
+            elif t == ord("W"):
+                body_len = 1  # one command byte, e.g. 'O' (net_io.c:4896-4901)
             else:
                 pos = i + 1
                 self.frames_bad += 1

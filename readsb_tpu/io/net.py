@@ -13,9 +13,64 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
 from typing import Awaitable, Callable, Optional
 
 log = logging.getLogger("readsb_tpu.net")
+
+
+def escape_beast(payload: bytes) -> bytes:
+    """Double 0x1a bytes inside a beast payload (net_io.c:1296-1310)."""
+    return payload.replace(b"\x1a", b"\x1a\x1a")
+
+
+def make_ping(value: int) -> bytes:
+    """0x1a 'P' + escaped 24-bit value (pingClient, net_io.c:1292-1314)."""
+    v = value & 0xFFFFFF
+    return b"\x1aP" + escape_beast(bytes([v >> 16, (v >> 8) & 0xFF, v & 0xFF]))
+
+
+class PingState:
+    """Per-connection ping/pong RTT tracking + latency-based rejection
+    (net_io.c:1264-1465).  The server sends 0x1a 'P' <24-bit ms> pings;
+    the feeder echoes them (plus its hold time); RTT EMAs above the
+    reject threshold shed the connection."""
+
+    # seconds (pingSenders, net_io.c:1322); env override for tests
+    PING_INTERVAL = float(__import__("os").environ.get("READSB_PING_INTERVAL", "5"))
+
+    def __init__(self, reject_ms: float = 300.0):
+        self.enabled = False  # set by the client's 'W' 'O' command
+        self.reject_ms = reject_ms
+        self.rtt = 0.0
+        self.recent_rtt = -1.0
+        self.latest_rtt = -1.0
+        self.pongs = 0
+        self.last_sent = 0.0
+
+    def pong(self, value: int, now_ms: int) -> None:
+        current = now_ms & 0xFFFFFF
+        pong = value & 0xFFFFFF
+        # 24-bit wraparound (pongReceived, net_io.c:1355-1363)
+        if abs(current - pong) > (1 << 24) * 7 // 8:
+            if current < pong:
+                current += 1 << 24
+            else:
+                pong += 1 << 24
+        self.rtt = max(0, current - pong)
+        if self.recent_rtt <= 0:
+            self.recent_rtt = self.rtt
+        else:
+            self.recent_rtt = self.recent_rtt * 0.9 + self.rtt * 0.1
+        if self.latest_rtt <= 0:
+            self.latest_rtt = self.rtt
+        else:
+            self.latest_rtt = self.latest_rtt * 0.9 + self.rtt * 0.1
+        self.pongs += 1
+
+    @property
+    def should_shed(self) -> bool:
+        return self.pongs >= 3 and self.latest_rtt > self.reject_ms
 
 
 class OutputService:
@@ -35,6 +90,8 @@ class OutputService:
         flush_interval: float = 0.05,
         max_backlog: int = 4 * 1024 * 1024,
         shed_after: float = 15.0,
+        heartbeat: bytes | None = None,
+        heartbeat_interval: float = 60.0,
     ):
         self.name = name
         self.clients: set[asyncio.StreamWriter] = set()
@@ -46,6 +103,14 @@ class OutputService:
         self._lagging: dict[int, float] = {}  # id(writer) -> since
         self.clients_shed = 0
         self._flusher: Optional[asyncio.Task] = None
+        # idle-channel heartbeat (send_heartbeat, net_io.c:1794)
+        self.heartbeat = heartbeat
+        self.heartbeat_interval = heartbeat_interval
+        self._last_write = 0.0
+        # per-client command state (handleBeastCommand, net_io.c:3750):
+        # id(writer) -> {"modeac": bool, "ping": bool}
+        self.client_opts: dict[int, dict] = {}
+        self._modeac_buf = bytearray()
 
     def send(self, data: bytes) -> None:
         if not self.clients:
@@ -53,6 +118,13 @@ class OutputService:
         self._buf += data
         if len(self._buf) >= self.flush_bytes:
             self.flush()
+
+    def send_modeac(self, data: bytes) -> None:
+        """Second lane: only clients that enabled Mode A/C ('1J' Beast
+        command / autoset_modeac, net_io.c:3577-3782) receive it."""
+        if not any(o.get("modeac") for o in self.client_opts.values()):
+            return
+        self._modeac_buf += data
 
     def _shed(self, w, reason: str) -> None:
         import time as _t  # local to keep the hot path import-free
@@ -67,13 +139,15 @@ class OutputService:
             pass
 
     def flush(self) -> None:
-        if not self._buf:
+        if not self._buf and not self._modeac_buf:
             return
         data = bytes(self._buf)
         self._buf.clear()
-        import time as _t
-
-        now = _t.time()
+        data_ac = bytes(self._modeac_buf)
+        self._modeac_buf.clear()
+        now = time.time()
+        if data:
+            self._last_write = now
         for w in list(self.clients):
             try:
                 transport = getattr(w, "transport", None)
@@ -85,7 +159,10 @@ class OutputService:
                         continue
                 else:
                     self._lagging.pop(id(w), None)
-                w.write(data)
+                if data:
+                    w.write(data)
+                if data_ac and self.client_opts.get(id(w), {}).get("modeac"):
+                    w.write(data_ac)
             except Exception:
                 self.clients.discard(w)
                 self._lagging.pop(id(w), None)
@@ -96,48 +173,150 @@ class OutputService:
         while True:
             await asyncio.sleep(self.flush_interval)
             self.flush()
+            if (
+                self.heartbeat
+                and self.clients
+                and time.time() - self._last_write > self.heartbeat_interval
+            ):
+                self._last_write = time.time()
+                for w in list(self.clients):
+                    try:
+                        w.write(self.heartbeat)
+                    except Exception:
+                        self.clients.discard(w)
 
     async def handle_client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        if not self.clients:
+            self._last_write = time.time()  # arm the heartbeat clock
         self.clients.add(writer)
+        self.client_opts[id(writer)] = {"modeac": False, "ping": False}
         peer = writer.get_extra_info("peername")
         log.info("%s: client %s connected (%d)", self.name, peer, len(self.clients))
+        pending = b""
         try:
             while True:
                 data = await reader.read(4096)
                 if not data:
                     break
-                # ignore inbound data on pure output ports (beast command
-                # bytes handled by the app when it cares)
+                # Beast command bytes from output clients
+                # (handleBeastCommand, net_io.c:3750-3803)
+                pending = self._handle_commands(writer, pending + data)
         except Exception:
             pass
         finally:
             self.clients.discard(writer)
+            self.client_opts.pop(id(writer), None)
             try:
                 writer.close()
             except Exception:
                 pass
 
+    def _handle_commands(self, writer, buf: bytes) -> bytes:
+        opts = self.client_opts.get(id(writer))
+        i = 0
+        while i + 2 < len(buf) + 1:
+            j = buf.find(b"\x1a", i)
+            if j < 0 or j + 2 > len(buf):
+                return buf[j:] if j >= 0 else b""
+            t = buf[j + 1 : j + 2]
+            if t == b"1" and j + 3 <= len(buf):
+                c = buf[j + 2 : j + 3]
+                if opts is not None and c in (b"J", b"j"):
+                    opts["modeac"] = c == b"J"  # 1J on / 1j off
+                i = j + 3
+            elif t == b"W" and j + 3 <= len(buf):
+                if opts is not None and buf[j + 2 : j + 3] == b"O":
+                    opts["ping"] = True  # high-res ping enable (net_io.c:4897)
+                i = j + 3
+            else:
+                i = j + 2
+        return b""
+
+    @property
+    def modeac_wanted(self) -> bool:
+        return any(o.get("modeac") for o in self.client_opts.values())
+
 
 class InputService:
-    """A listen port whose connections feed a deframer into a callback."""
+    """A listen port whose connections feed a deframer into a callback.
 
-    def __init__(self, name: str, connection_factory: Callable[[], "InputConnection"]):
+    ping=True adds the reference's feeder-health machinery: the service
+    pings feeders that enabled it ('W' 'O' command) every 5 s, tracks
+    RTT EMAs from the echoed pongs, and sheds feeders whose latency
+    exceeds reject_ms (net_io.c:1264-1465).  PROXY v1 header lines
+    (net_io.c:5020) are stripped and the real peer recorded.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        connection_factory: Callable[[], "InputConnection"],
+        *,
+        ping: bool = False,
+        reject_ms: float = 300.0,
+    ):
         self.name = name
         self.connection_factory = connection_factory
+        self.ping = ping
+        self.reject_ms = reject_ms
+        self.clients_shed = 0
+        self.connections = 0
+
+    async def _ping_loop(self, writer, ping_state: PingState):
+        try:
+            while True:
+                await asyncio.sleep(PingState.PING_INTERVAL)
+                if ping_state.should_shed:
+                    self.clients_shed += 1
+                    log.warning(
+                        "%s: shedding feeder (rtt %.0f ms > %.0f ms)",
+                        self.name, ping_state.latest_rtt, ping_state.reject_ms,
+                    )
+                    writer.close()
+                    return
+                if ping_state.enabled:
+                    writer.write(make_ping(int(time.time() * 1000)))
+                    ping_state.last_sent = time.time()
+        except (asyncio.CancelledError, ConnectionError):
+            pass
 
     async def handle_client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         conn = self.connection_factory()
         peer = writer.get_extra_info("peername")
+        self.connections += 1
         log.info("%s: feeder %s connected", self.name, peer)
+        ping_state = PingState(self.reject_ms) if self.ping else None
+        conn.ping_state = ping_state
+        conn.writer = writer
+        ping_task = (
+            asyncio.ensure_future(self._ping_loop(writer, ping_state))
+            if ping_state
+            else None
+        )
+        first = True
         try:
             while True:
                 data = await reader.read(65536)
                 if not data:
                     break
+                if first:
+                    first = False
+                    if data.startswith(b"PROXY "):
+                        # PROXY protocol v1: strip the header line, keep
+                        # the real peer for logs (net_io.c:5020)
+                        nl = data.find(b"\r\n")
+                        if nl >= 0:
+                            conn.proxy_peer = data[6:nl].decode("latin1", "replace")
+                            log.info("%s: PROXY %s", self.name, conn.proxy_peer)
+                            data = data[nl + 2 :]
+                            if not data:
+                                continue
                 await conn.feed(data)
         except Exception as e:
             log.debug("%s: feeder %s error: %s", self.name, peer, e)
         finally:
+            if ping_task:
+                ping_task.cancel()
             conn.close()
             try:
                 writer.close()

@@ -220,6 +220,34 @@ class Trace:
             self.chunks.pop(0)
             self.chunk_meta.pop(0)
 
+    def delete_range(self, ts_from: int, ts_to: int) -> int:
+        """Remove points in [ts_from, ts_to] ms — the cmd.sock deleteTrace
+        command (handleCommandSocket, net_io.c:3725-3740).  Chunks
+        overlapping the window are rewritten."""
+        removed = 0
+        cctx = zstandard.ZstdCompressor(level=3)
+        dctx = zstandard.ZstdDecompressor()
+        new_chunks, new_meta = [], []
+        for blob, (n, first, last_ts) in zip(self.chunks, self.chunk_meta):
+            if last_ts < ts_from or first > ts_to:
+                new_chunks.append(blob)
+                new_meta.append((n, first, last_ts))
+                continue
+            pts = [s for s in pickle.loads(dctx.decompress(blob))
+                   if not (ts_from <= s.timestamp <= ts_to)]
+            removed += n - len(pts)
+            if pts:
+                new_chunks.append(cctx.compress(pickle.dumps(pts, protocol=4)))
+                new_meta.append((len(pts), pts[0].timestamp, pts[-1].timestamp))
+        self.chunks, self.chunk_meta = new_chunks, new_meta
+        before = len(self.points)
+        self.points = [s for s in self.points
+                       if not (ts_from <= s.timestamp <= ts_to)]
+        removed += before - len(self.points)
+        self.len_total -= removed
+        self.dirty = True
+        return removed
+
     # ------------------------------------------------------------------
 
     def add(self, a, now: int, stale: bool = False,

@@ -1,9 +1,16 @@
 """One TPU measurement session: convert variants + stage ablation +
 multichannel aggregate — a single process, a single relay claim.
 
-Through the axon relay, claim acquisition can take many minutes and each
-process exit risks wedging the claim; batching every measurement into
-one python process is the only reliable way to profile (round-3 note).
+Measurement methodology for the axon relay (round-3 findings):
+- block_until_ready can return fire-and-forget mirages even after the
+  process's first readback;
+- an explicit per-rep readback is honest but pays ~26 ms relay RTT plus
+  ~50 ms/MB transfer, drowning the kernel time.
+
+So every timed program threads a tiny int32 carry through the reps: the
+carry depends on the program's outputs, forcing each rep's compute to
+actually run and the reps to serialize ON DEVICE, while only ONE scalar
+readback happens at the end.  per-rep = (wall - one RTT) / reps.
 
 Run: python tools/tpu_session.py [n_blocks]
 """
@@ -30,6 +37,7 @@ from readsb_tpu.constants import BLOCK_SAMPLES, TRAILING_SAMPLES
 from readsb_tpu.ops import demod as demod_ops
 from readsb_tpu.ops import pallas_kernels as pk
 from readsb_tpu.ops.demod import _compact_two_level
+from readsb_tpu.ops.gate import TBL_SENTINEL
 from readsb_tpu import pipeline as pl_mod
 
 N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
@@ -51,41 +59,51 @@ thr = jnp.int32(58)
 _ = float(jnp.sum(jnp.zeros(4)))
 mark("attached")
 
-
-def _sync(out):
-    """Force a real device->host readback (block_until_ready through the
-    relay has been observed to lie even after poisoning; see PROGRESS)."""
-    leaves = jax.tree_util.tree_leaves(out)
-    small = min(leaves, key=lambda a: getattr(a, "size", 1 << 60))
-    np.asarray(small)
+RTT_S = [0.0]  # measured null chain overhead per rep
 
 
-def timeit(name, fn, *args, reps=10):
-    out = fn(*args)
-    _sync(out)
+def timeit(name, chain_fn, reps=10, sub_rtt=True):
+    """chain_fn: jitted (carry:int32) -> new_carry — whole rep on device."""
+    c = chain_fn(jnp.int32(0))
+    int(c)  # warm + honest barrier
     best = float("inf")
     for _ in range(3):
+        c = jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(*args)
-            _sync(out)  # per-rep readback: honest, costs ~1 relay RTT
-        best = min(best, (time.perf_counter() - t0) / reps)
-    mark(f"{name:30s} {best*1e3:9.3f} ms {SCAN/best/1e6:9.0f} MS/s")
-    return best
+            c = chain_fn(c)
+        int(c)  # ONE readback for the whole chain
+        total = time.perf_counter() - t0
+        best = min(best, total / reps)
+    net = best - (RTT_S[0] if sub_rtt else 0.0)
+    mark(f"{name:30s} {net*1e3:9.3f} ms {SCAN/max(net,1e-9)/1e6:9.0f} MS/s")
+    return net
+
+
+# --------------------------------------------------------------- null chain
+@jax.jit
+def chain_null(c):
+    return c + 1
+
+
+n = timeit("null chain (per-rep ovh)", chain_null, reps=50, sub_rtt=False)
+RTT_S[0] = max(0.0, n)
+mark(f"(per-rep dispatch overhead {RTT_S[0]*1e3:.3f} ms subtracted below)")
 
 
 # ---------------------------------------------------------------- convert
-def conv_variant(kernel):
+def conv_chain(kernel):
     @jax.jit
-    def run(iq):
-        n = iq.shape[0] // 2
+    def run(c):
+        iq = raw_j
+        nsl = iq.shape[0] // 2
         words = jax.lax.bitcast_convert_type(
-            iq.reshape(n, 2), jnp.uint16
-        ).reshape(n // pk.LANES, pk.LANES)
-        return pl.pallas_call(
+            (iq + c.astype(jnp.uint8)).reshape(nsl, 2), jnp.uint16
+        ).reshape(nsl // pk.LANES, pk.LANES)
+        mag = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n // pk.LANES, pk.LANES), jnp.uint16),
-            grid=(n // (pk.ROWS_PER_STEP * pk.LANES),),
+            out_shape=jax.ShapeDtypeStruct((nsl // pk.LANES, pk.LANES), jnp.uint16),
+            grid=(nsl // (pk.ROWS_PER_STEP * pk.LANES),),
             in_specs=[
                 pl.BlockSpec((1, pk.LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((pk.ROWS_PER_STEP, pk.LANES), lambda i: (i, 0),
@@ -94,6 +112,8 @@ def conv_variant(kernel):
             out_specs=pl.BlockSpec((pk.ROWS_PER_STEP, pk.LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         )(jnp.asarray(pk._sq_table_np()).reshape(1, pk.LANES), words)
+        return mag[123, 45].astype(jnp.int32)
+
     return run
 
 
@@ -124,85 +144,77 @@ def _conv_minimal(sqtab_ref, words_ref, mag_ref):
     mag_ref[:] = m.astype(jnp.int32).astype(jnp.uint16)
 
 
-# null-program control: if this also costs ~12 ms, the baseline is relay
-# dispatch overhead, not kernel time — divide it out of every number
-@jax.jit
-def v_null(iq):
-    return iq[:256]
-
-
-timeit("null program (overhead)", v_null, raw_j)
-timeit("null reps=100", v_null, raw_j, reps=100)
-
-timeit("conv a: current exact", conv_variant(pk._uc8_kernel), raw_j)
-timeit("conv b: no gather", conv_variant(_conv_nogather), raw_j)
-timeit("conv c: no cr_sqrt", conv_variant(_conv_nocr), raw_j)
-timeit("conv d: minimal", conv_variant(_conv_minimal), raw_j)
+timeit("conv a: current exact", conv_chain(pk._uc8_kernel))
+timeit("conv b: no gather", conv_chain(_conv_nogather))
+timeit("conv c: no cr_sqrt", conv_chain(_conv_nocr))
+timeit("conv d: minimal", conv_chain(_conv_minimal))
 
 
 # ---------------------------------------------------------------- stages
-def common(raw_u8, ov, t):
-    mag = pl_mod._to_mag(raw_u8, "uc8")
-    buf = jnp.concatenate([ov, mag])
+def common(c):
+    mag = pl_mod._to_mag(raw_j, "uc8")
+    buf = jnp.concatenate([overlap + c.astype(jnp.uint16), mag])
     tile = pk.DENSE_ROWS * pk.LANES
     padded = ((buf.shape[0] + tile - 1) // tile) * tile
     bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
-    return pk.dense_scan_pallas(bufp, t)
+    return pk.dense_scan_pallas(bufp, thr)
 
 
 @jax.jit
-def v_dense(raw_u8, ov, t):
-    corrbits, pwords, cs_hi, cs_lo = common(raw_u8, ov, t)
-    return corrbits[::4096], pwords[:, ::4096], cs_hi[::4096], cs_lo[::4096]
+def chain_dense(c):
+    corrbits, pwords, cs_hi, cs_lo = common(c)
+    return corrbits[999].astype(jnp.int32) + pwords[0, 777] + cs_hi[123] - cs_lo[45]
 
 
 @jax.jit
-def v_compact(raw_u8, ov, t):
-    corrbits, pwords, cs_hi, cs_lo = common(raw_u8, ov, t)
+def chain_compact(c):
+    corrbits, pwords, cs_hi, cs_lo = common(c)
     cand = (corrbits[:SCAN] & 8) != 0
     offsets, max_local = _compact_two_level(cand, K, L, SCAN)
-    return offsets[::64], max_local, cs_hi[::4096]
+    return offsets[77] + max_local + cs_hi[123]
 
 
 @jax.jit
-def v_kernel(raw_u8, ov, t):
-    corrbits, pwords, cs_hi, cs_lo = common(raw_u8, ov, t)
+def chain_kernel(c):
+    corrbits, pwords, cs_hi, cs_lo = common(c)
     cand = (corrbits[:SCAN] & 8) != 0
     offsets, max_local = _compact_two_level(cand, K, L, SCAN)
     win, nv = demod_ops.win_rows(corrbits, pwords, SCAN)
     rows = win[jnp.clip(offsets >> 8, 0, nv - 1)]
     comb = pk.extract_syndromes_pallas(rows, offsets)
-    return comb[::64], offsets[::64], cs_hi[::4096]
+    return comb[33, 0] + comb[55, 9] + offsets[11]
 
 
-timeit("convert+dense", v_dense, raw_j, overlap, thr)
-timeit("+compaction", v_compact, raw_j, overlap, thr)
-timeit("+win/gather/extract-kernel", v_kernel, raw_j, overlap, thr)
-
-full = jax.jit(
-    lambda r, ov, t: demod_ops.demod_block(
-        jnp.concatenate([ov, pl_mod._to_mag(r, "uc8")]), t, k=K, scan_len=SCAN, l=L
+@jax.jit
+def chain_full(c):
+    bc = demod_ops.demod_block(
+        jnp.concatenate([overlap + c.astype(jnp.uint16), pl_mod._to_mag(raw_j, "uc8")]),
+        thr, k=K, scan_len=SCAN, l=L,
     )
-)
-timeit("FULL demod_block", full, raw_j, overlap, thr)
+    return bc.offsets[3] + bc.syn112[9, 2] + bc.n_cand + bc.sig_long[4, 0]
 
 
-def gated(r, ov, t):
-    from readsb_tpu.ops.gate import TBL_SENTINEL
+_tbl = jnp.full(2048, TBL_SENTINEL, jnp.int32)
 
-    tbl = jnp.full(2048, TBL_SENTINEL, jnp.int32)
-    return pl_mod._demod_and_gate(
-        pl_mod._to_mag(r, "uc8"), ov, jnp.int32(SCAN), t, tbl,
+
+@jax.jit
+def chain_gate(c):
+    gc, ov2, lv, pw = pl_mod._demod_and_gate(
+        pl_mod._to_mag(raw_j, "uc8"), overlap + c.astype(jnp.uint16),
+        jnp.int32(SCAN), thr, _tbl,
         k=K, scan_len=SCAN, l=L, k2=1024, nfix=1, fix_df=True,
         reset_every=BLOCK_SAMPLES,
     )
+    return gc.n_cand + gc.n_keep + gc.offsets[5] + gc.syn112[7, 1]
 
 
-best_gate = timeit("FULL demod+gate", gated, raw_j, overlap, thr)
+timeit("convert+dense", chain_dense)
+timeit("+compaction", chain_compact)
+timeit("+win/gather/extract-kernel", chain_kernel)
+timeit("FULL demod_block", chain_full)
+best_gate = timeit("FULL demod+gate", chain_gate)
 
 # ------------------------------------------------------------ multichannel
-from readsb_tpu.ops.gate import TBL_SENTINEL
-
 mag_full = jax.jit(lambda r: pl_mod._to_mag(r, "uc8"))(raw_j)
 jax.block_until_ready(mag_full)
 
@@ -215,28 +227,35 @@ for n_chan in (8, 64):
     kk = 2048 * bpb * n_chan
     mags = mag_full[:total].reshape(n_chan, seg_valid)
     ovs = jnp.zeros((n_chan, TRAILING_SAMPLES), jnp.uint16)
-    tbl = jnp.full(2048, TBL_SENTINEL, jnp.int32)
 
-    def multi(m, o):
-        return pl_mod._demod_and_gate_multi(
-            m, o, jnp.int32(seg_valid), thr, tbl,
-            k=kk, scan_len=scan_len, l=L, k2=max(1024, 64 * n_chan),
-            nfix=1, fix_df=True, reset_every=BLOCK_SAMPLES,
-            seg_stride=stride, seg_valid=seg_valid,
-        )
+    def make_chain(mags, ovs, seg_valid, stride, scan_len, kk, k2):
+        @jax.jit
+        def chain(c):
+            gc, ov2, lv, pw = pl_mod._demod_and_gate_multi(
+                mags, ovs + c.astype(jnp.uint16), jnp.int32(seg_valid), thr, _tbl,
+                k=kk, scan_len=scan_len, l=L, k2=k2,
+                nfix=1, fix_df=True, reset_every=BLOCK_SAMPLES,
+                seg_stride=stride, seg_valid=seg_valid,
+            )
+            return gc.n_cand + gc.n_keep + gc.offsets[5]
 
-    out = multi(mags, ovs)
-    _sync(out)
+        return chain
+
+    ch = make_chain(mags, ovs, seg_valid, stride, scan_len, kk, max(1024, 64 * n_chan))
+    c = ch(jnp.int32(0))
+    int(c)
     best = float("inf")
     for _ in range(3):
+        c = jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(10):
-            out = multi(mags, ovs)
-            _sync(out)
+            c = ch(c)
+        int(c)
         best = min(best, (time.perf_counter() - t0) / 10)
+    net = best - RTT_S[0]
     mark(
-        f"multichannel C={n_chan:3d} x {bpb} blk   {best*1e3:9.3f} ms "
-        f"{total/best/1e6:9.0f} MS/s aggregate"
+        f"multichannel C={n_chan:3d} x {bpb} blk   {net*1e3:9.3f} ms "
+        f"{total/max(net,1e-9)/1e6:9.0f} MS/s aggregate"
     )
 
 mark("session done")
