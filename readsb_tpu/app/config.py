@@ -27,6 +27,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fix", dest="nfix_crc", action="store_const", const=0)
     p.add_argument("--no-fix-df", dest="fix_df", action="store_false", default=True)
     p.add_argument("--aggressive", dest="nfix_crc", action="store_const", const=2)
+    p.add_argument("--dcfilter", action="store_true",
+                   help="1-pole DC-block IIR before demodulation (convert.c:477)")
+    p.add_argument("--show-only", type=lambda v: int(v, 16), default=None,
+                   metavar="HEX", help="only process this ICAO address")
+    p.add_argument("--cpr-focus", type=lambda v: int(v, 16), default=None,
+                   metavar="HEX", help="log CPR decisions for this aircraft")
+    p.add_argument("--trace-focus", type=lambda v: int(v, 16), default=None,
+                   metavar="HEX", help="log trace additions for this aircraft")
+    p.add_argument("--leg-focus", type=lambda v: int(v, 16), default=None,
+                   metavar="HEX", help="log leg segmentation for this aircraft")
+    p.add_argument("--filter-DF", default=None, metavar="N[,N...]",
+                   help="only forward these downlink formats")
+    p.add_argument("--net-verbatim", action="store_true",
+                   help="forward 2-bit-corrected messages on raw output")
+    p.add_argument("--forward-mlat", action="store_true",
+                   help="forward MLAT-sourced messages on raw/beast outputs")
+    p.add_argument("--forward-mlat-sbs", action="store_true",
+                   help="forward MLAT-sourced messages on SBS main output")
+    p.add_argument("--net-bind-address", default="0.0.0.0")
+    p.add_argument("--interactive-ttl", type=float, default=60.0,
+                   help="interactive display retention seconds")
+    p.add_argument("--metric", action="store_true",
+                   help="interactive display in metric units")
+    p.add_argument("--debug", default="", metavar="FLAGS",
+                   help="debug flag string (subset: C=CPR, n=net, S=speed)")
 
     # --- position
     p.add_argument("--lat", type=float, default=None)

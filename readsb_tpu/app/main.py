@@ -109,6 +109,16 @@ class App:
 
             self.tracker.db = AircraftDb(args.db_file)
             self.tracker.db_reload()
+        self._df_filter = None
+        if args.filter_DF:
+            self._df_filter = {int(x) for x in str(args.filter_DF).split(",") if x}
+        self.tracker.cpr_focus = args.cpr_focus
+        self.acas_log = None
+        if args.globe_history_dir and args.json_globe_index:
+            from ..io.acas import AcasLogger
+
+            # daily RA event logs (checkNewDayAcas, globe_index.c:3415)
+            self.acas_log = AcasLogger(args.globe_history_dir)
 
     # ------------------------------------------------------------------
 
@@ -119,6 +129,11 @@ class App:
         self.handle_message(mm, raw_ts=frame.timestamp, signal=frame.signal_power)
 
     def handle_message(self, mm: ModesMessage, raw_ts: int = 0, signal: float = 0.0) -> None:
+        if (
+            self.args.show_only is not None
+            and (mm.addr & 0xFFFFFF) != self.args.show_only
+        ):
+            return
         self.messages += 1
         if getattr(mm, "remote", False):
             if len(mm.msg) == 2:
@@ -126,10 +141,24 @@ class App:
             else:
                 self.remote_modes += 1
         a = self.tracker.update(mm)
+        if self.acas_log is not None and mm.acas_ra_valid:
+            from ..io import acas as acas_io
+
+            ra = (mm.MV if mm.msgtype == 16 else
+                  mm.MB if mm.msgtype in (20, 21) else mm.ME)
+            if ra and acas_io.ra_valid(bytes(ra), mm.msgtype):
+                self.acas_log.log(
+                    mm.addr, bytes(ra), a, mm, mm.sys_timestamp_ms
+                )
         if self.args.show_raw:
             print("*%s;" % mm.msg.hex(), flush=False)
-        if self.out_raw.clients:
-            self.out_raw.send(raw_io.encode_line(mm.msg, raw_ts or None))
+        if self._df_filter is not None and mm.msgtype not in self._df_filter:
+            return
+        is_mlat_src = mm.source == Source.MLAT
+        if self.out_raw.clients and not (is_mlat_src and not self.args.forward_mlat):
+            # 2-bit-corrected messages only with --net-verbatim (net_io.c:5840)
+            if mm.correctedbits < 2 or self.args.net_verbatim:
+                self.out_raw.send(raw_io.encode_line(mm.msg, raw_ts or None))
         if self.out_beast.clients and len(mm.msg) in (2, 7, 14):
             self.out_beast.send(
                 beast_io.encode_frame(mm.msg, raw_ts, signal, modeac=len(mm.msg) == 2)
@@ -776,6 +805,13 @@ class App:
         args = self.args
         if not (args.net or args.net_only):
             return
+        # --net-bind-address for every listener
+        import functools as _ft
+
+        self.net.listen_output = _ft.partial(self.net.listen_output, host=args.net_bind_address) \
+            if args.net_bind_address != "0.0.0.0" else self.net.listen_output
+        self.net.listen_input = _ft.partial(self.net.listen_input, host=args.net_bind_address) \
+            if args.net_bind_address != "0.0.0.0" else self.net.listen_input
         if args.net_ro_port:
             await self.net.listen_output(self.out_raw, args.net_ro_port)
         if args.net_bo_port:

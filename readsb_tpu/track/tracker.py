@@ -736,6 +736,15 @@ class Tracker:
         else:
             self.cpr_airborne += 1
 
+        if getattr(self, "cpr_focus", None) == a.addr:
+            import sys as _sys
+
+            print(
+                f"cpr_focus {a.addr:06x}: {'odd' if mm.cpr_odd else 'even'} "
+                f"({mm.cpr_lat}) ({mm.cpr_lon}) type={mm.cpr_type.name} "
+                f"rel_o={a.pos_reliable_odd:.1f} rel_e={a.pos_reliable_even:.1f}",
+                file=_sys.stderr,
+            )
         other = a.cpr_even if mm.cpr_odd else a.cpr_odd
         result = None
         used_global = False

@@ -93,7 +93,9 @@ def app_run(capture_small, tmp_path_factory):
                 api_sock.close()
                 body = resp.split(b"\r\n\r\n", 1)[1]
                 api_resp = json.loads(body)
-                got_api = True
+                # the query snapshot is double-buffered (apiUpdate) and up
+                # to one update interval stale; retry until it has content
+                got_api = api_resp.get("resultCount", 0) >= 1
             except (OSError, json.JSONDecodeError, IndexError):
                 pass
     proc.wait(timeout=120)

@@ -66,16 +66,30 @@ def test_cpr_counters_match_reference(capture_pos):
     assert got_bad == ref["global_bad"], (got_bad, ref)
 
 
-def _collect_positions(cmd, port, timeout_s=90):
+def _collect_positions(cmd, port, timeout_s=90, stdin_path=None):
     """Run a readsb-style process with --net-json-port, collect accepted
-    positions as [(hex, lat, lon)] from the per-position json stream."""
+    positions as [(hex, lat, lon)] from the per-position json stream.
+
+    The capture is fed through stdin only after the collector has
+    connected, so no position can be emitted before we are listening
+    (otherwise startup-speed differences make the comparison racy)."""
     import json
     import socket
+    import threading
     import time
 
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=str(REPO)
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=str(REPO),
+        stdin=subprocess.PIPE if stdin_path else None,
     )
+
+    def feeder():
+        with open(stdin_path, "rb") as f:
+            try:
+                proc.stdin.write(f.read())
+                proc.stdin.close()
+            except (BrokenPipeError, OSError):
+                pass
     sock = None
     deadline = time.time() + 15
     try:
@@ -87,6 +101,8 @@ def _collect_positions(cmd, port, timeout_s=90):
                     raise AssertionError("process exited before listening")
                 time.sleep(0.2)
         assert sock is not None, "could not connect to json position port"
+        if stdin_path:
+            threading.Thread(target=feeder, daemon=True).start()
         sock.settimeout(2)
         buf = b""
         end = time.time() + timeout_s
@@ -121,16 +137,16 @@ def test_cpr_accepted_position_sets_match(capture_pos):
     if not REFERENCE_BIN.exists():
         pytest.skip("reference binary not built")
     ref_pos = _collect_positions(
-        [str(REFERENCE_BIN), "--device-type", "ifile", "--ifile", capture_pos,
+        [str(REFERENCE_BIN), "--device-type", "ifile", "--ifile", "/dev/stdin",
          "--iformat", "uc8", "--throttle", "--quiet", "--net",
          "--net-json-port", "31947", "--lat", "47.5", "--lon", "8.5"],
-        31947,
+        31947, stdin_path=capture_pos,
     )
     got_pos = _collect_positions(
         [sys.executable, "-m", "readsb_tpu.app.main", "--device-type", "ifile",
-         "--ifile", capture_pos, "--iformat", "uc8", "--throttle", "--quiet",
+         "--ifile", "-", "--iformat", "uc8", "--throttle", "--quiet",
          "--net", "--net-json-port", "31948", "--lat", "47.5", "--lon", "8.5"],
-        31948,
+        31948, stdin_path=capture_pos,
     )
     assert len(ref_pos) > 10
     assert sorted(got_pos) == sorted(ref_pos)
