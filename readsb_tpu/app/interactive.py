@@ -18,17 +18,25 @@ _HDR = (
 )
 
 
-def _rows(tracker, now_ms: int, limit: int) -> list[str]:
+def _rows(tracker, now_ms: int, limit: int, ttl_ms: int = 60_000,
+          metric: bool = False) -> list[str]:
     out = []
     aircraft = sorted(
-        tracker.aircraft.values(), key=lambda a: a.seen, reverse=True
+        (a for a in tracker.aircraft.values() if now_ms - a.seen <= ttl_ms),
+        key=lambda a: a.seen, reverse=True,
     )[:limit]
     for a in aircraft:
         mode = "S"
         squawk = f"{a.squawk:04x}" if a.squawk is not None else ""
         flight = (a.callsign or "").strip()
-        alt = f"{a.baro_alt:6d}" if getattr(a, "baro_alt", None) is not None else "      "
-        spd = f"{a.gs:4.0f}" if getattr(a, "gs", None) is not None else "    "
+        altv = getattr(a, "baro_alt", None)
+        if metric and altv is not None:
+            altv = int(altv * 0.3048)  # feet -> meters (--metric, help.h)
+        alt = f"{altv:6d}" if altv is not None else "      "
+        spdv = getattr(a, "gs", None)
+        if metric and spdv is not None:
+            spdv = spdv * 1.852  # knots -> km/h
+        spd = f"{spdv:4.0f}" if spdv is not None else "    "
         hdg = f"{a.track:3.0f}" if getattr(a, "track", None) is not None else "   "
         lat = f"{a.lat:8.3f}" if a.lat is not None else "        "
         lon = f"{a.lon:8.3f}" if a.lon is not None else "        "
@@ -42,8 +50,10 @@ def _rows(tracker, now_ms: int, limit: int) -> list[str]:
 
 
 class InteractiveDisplay:
-    def __init__(self, tracker):
+    def __init__(self, tracker, ttl_s: float = 60.0, metric: bool = False):
         self.tracker = tracker
+        self.ttl_ms = int(ttl_s * 1000)  # --interactive-ttl (help.h)
+        self.metric = metric  # --metric: meters / km/h display
         self._scr = None
         try:
             if sys.stdout.isatty():
@@ -64,7 +74,9 @@ class InteractiveDisplay:
             h, w = self._scr.getmaxyx()
             self._scr.erase()
             self._scr.addnstr(0, 0, _HDR, w - 1, curses.A_REVERSE)
-            for i, line in enumerate(_rows(self.tracker, now_ms, h - 2)):
+            for i, line in enumerate(
+                _rows(self.tracker, now_ms, h - 2, self.ttl_ms, self.metric)
+            ):
                 self._scr.addnstr(i + 1, 0, line, w - 1)
             self._scr.refresh()
         else:
@@ -73,7 +85,7 @@ class InteractiveDisplay:
                 return
             self._last_plain = time.time()
             print(_HDR, file=sys.stderr)
-            for line in _rows(self.tracker, now_ms, 30):
+            for line in _rows(self.tracker, now_ms, 30, self.ttl_ms, self.metric):
                 print(line, file=sys.stderr)
 
     def close(self) -> None:

@@ -608,7 +608,9 @@ class App:
         if args.interactive:
             from .interactive import InteractiveDisplay
 
-            display = InteractiveDisplay(self.tracker)
+            display = InteractiveDisplay(
+                self.tracker, ttl_s=args.interactive_ttl, metric=args.metric
+            )
         while True:
             await asyncio.sleep(0.25)
             self._last_tick = time.time()

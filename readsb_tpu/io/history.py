@@ -49,9 +49,19 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def write_traces(tracker: Tracker, outdir: str, now: int,
-                 full_interval_ms: int = 60 * SECONDS) -> int:
+                 full_interval_ms: int = 60 * SECONDS,
+                 time_budget_s: float | None = 0.05) -> int:
     """traceWrite sweep: write trace_recent (always when dirty) and
-    trace_full (mark_legs applied) per aircraft with history."""
+    trace_full (mark_legs applied) per aircraft with history.
+
+    time_budget_s bounds one sweep's wall time (the reference's
+    time-sliced tracePool writer, readsb.c:975-1114): aircraft left dirty
+    are picked up by the next periodic tick, so a 10k-aircraft store
+    never stalls the loop.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + time_budget_s if time_budget_s else None
     written = 0
     tdir = os.path.join(outdir, "traces")
     os.makedirs(tdir, exist_ok=True)
@@ -59,6 +69,8 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
         tr = getattr(a, "trace", None)
         if tr is None or len(tr) == 0 or not tr.dirty:
             continue
+        if deadline is not None and _time.monotonic() > deadline and written:
+            break  # stay dirty; resume next tick
         tr.dirty = False
         hexid = f"{a.addr & 0xFFFFFF:06x}"
         shard = os.path.join(tdir, hexid[-2:])

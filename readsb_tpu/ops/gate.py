@@ -62,6 +62,8 @@ class GatedCandidates(NamedTuple):
     n_cand: jax.Array  # int32[] total candidates pre-gate (k-overflow check)
     max_local: jax.Array  # int32[] compaction watermark pre-gate
     n_keep: jax.Array  # int32[] kept count (may exceed K2 => escalate)
+    keep_watermark: jax.Array  # int32[] kept-compaction per-block peak
+    #   (> the static keep_l capacity => offsets invalid, retry larger)
     pre_drop: jax.Array  # int32[] dropped candidates (stats: preambles)
     unknown_drop: jax.Array  # int32[] dropped with best score -1
     bad_drop: jax.Array  # int32[] dropped with best score -2
@@ -96,6 +98,7 @@ def score_gate(
     fix_df: bool = True,
     reset_every: int | None = None,
     seg_stride: int | None = None,
+    keep_l: int = 64,
 ) -> GatedCandidates:
     """Pure function (jnp; CPU/TPU identical) — see module docstring.
 
@@ -161,13 +164,17 @@ def score_gate(
     if pad:
         flat_learn = jnp.pad(flat_learn, (0, pad))
         flat_aa = jnp.pad(flat_aa, (0, pad))
-    # local capacity 256 == block size: can never overflow (exactness)
-    s_idx, _ = _compact_two_level(flat_learn, s_cap, 256, flat_learn.shape[0])
+    # small local capacity: learners are sparse (clean DF17/DF11-IID0
+    # phases only); a block overflowing it degrades to pass-through via
+    # s_overflow below, which is always safe (gate drops nothing extra)
+    s_idx, s_watermark = _compact_two_level(
+        flat_learn, s_cap, 32, flat_learn.shape[0]
+    )
     s_count = jnp.sum(flat_learn.astype(jnp.int32))
     s_vals = jnp.where(
         s_idx < n_flat, flat_aa[jnp.minimum(s_idx, n_flat - 1)], jnp.int32(-1)
     )
-    s_overflow = s_count > s_cap
+    s_overflow = (s_count > s_cap) | (s_watermark > 32)
 
     # --- known-ICAO test: residual in (known table U teach-set) -------------
     residual = jnp.where(df >= 16, syn112, syn56) & 0xFFFFFF
@@ -199,7 +206,7 @@ def score_gate(
     bad_drop = pre_drop - unknown_drop
 
     # --- compact kept candidates to K2 rows ---------------------------------
-    kidx, _ = _compact_two_level(keep, k2, 256, k)
+    kidx, keep_watermark = _compact_two_level(keep, k2, keep_l, k)
     n_keep = jnp.sum(keep.astype(jnp.int32))
     safe = jnp.minimum(kidx, k - 1)
     live = kidx < k
@@ -251,6 +258,7 @@ def score_gate(
         n_cand=bc.n_cand,
         max_local=bc.max_local,
         n_keep=n_keep,
+        keep_watermark=keep_watermark,
         pre_drop=pre_drop,
         unknown_drop=unknown_drop,
         bad_drop=bad_drop,

@@ -319,38 +319,47 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
 # Output lanes: 0:5 syn112[phase], 5:10 syn56[phase], 10:80 msg bytes
 # (phase-major, 14 per phase), 80:83 correlation-lane bits, rest zero.
 
-EX_ROWS = 512
-EX_BITS = 640  # 560 used, zero-padded for the MXU
+EX_ROWS = 1024  # candidates per grid step (VMEM-bound: ~13 MB live)
+# the aligned 5-plane window is 55 words = 1760 bits; every window bit is
+# a matmul input row (collisions between phases simply sum — linearity)
+EX_BITS = 55 * 32
 
 
 @functools.lru_cache(maxsize=None)
 def _extract_mats():
-    """(M1 f32[EX_BITS, 320], M2 f32[320, 16], SH i32[1, EX_BITS]) — the
-    matmul weights plus the flat per-output-bit shift table (kernels may
-    not capture traced constants; SH rides in as an input)."""
-    from .demod import _extract_plan
+    """(M1 f32[EX_BITS, 320], M2 f32[320, 16]).
 
-    plan, m_np = _extract_plan()  # m_np (560, 310)
+    M1 row (plane*352 + q) carries the combined CRC/byte-pack weights of
+    every (phase, bit) whose slicer tap reads plane bit q of the aligned
+    candidate window — the grouped per-bit shifts of the XLA path
+    re-expressed so the whole extraction is bits @ M1 on the MXU.
+    """
+    from .demod import _combined_matrix, lattice_tables
+
+    aoff, kid = lattice_tables()  # (5, 112)
+    comb = _combined_matrix()  # (112, 62)
+    # lane layout after pltpu.repeat (tile semantics): lane l holds word
+    # (l % 55) shifted right by (l // 55) — so window bit (word w, bit r)
+    # lives at lane r*55 + w
     m1 = np.zeros((EX_BITS, 320), np.float32)
-    m1[:560, :310] = m_np
+    for p in range(5):
+        for b in range(112):
+            q = int(aoff[p, b])
+            w = int(kid[p, b]) * 11 + (q >> 5)
+            r = q & 31
+            m1[r * 55 + w, p * 62 : (p + 1) * 62] += comb[b]
     m2 = np.zeros((320, 16), np.float32)
     for p in range(5):
         for j in range(24):
             m2[p * 62 + j, p] = float(1 << (23 - j))  # syn112
         for j in range(24):
             m2[p * 62 + 24 + j, 5 + p] = float(1 << (23 - j))  # syn56
-    sh = np.zeros((1, EX_BITS), np.int32)
-    c = 0
-    for _pl, _j, shifts in plan:
-        sh[0, c : c + len(shifts)] = shifts
-        c += len(shifts)
-    return m1, m2, sh
+    return m1, m2
 
 
-def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, sh_ref, out_ref):
-    from .demod import WIN_CORR_BASE, WIN_PLANE_WORDS, _extract_plan
+def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, out_ref):
+    from .demod import WIN_CORR_BASE, WIN_PLANE_WORDS
 
-    plan, _ = _extract_plan()
     rows = rows_ref[:]
     off = off_ref[:]  # (EX_ROWS, 1) int32
     s = off & 255
@@ -377,23 +386,19 @@ def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, sh_ref, out_ref):
         sb == 0, 0, jnp.left_shift(hi, shl)
     )
 
-    parts = []
-    c0 = 0
-    for pl_, j, shifts in plan:
-        g = len(shifts)
-        col = sw[:, pl_ * 11 + j : pl_ * 11 + j + 1]
-        sh = sh_ref[:, c0 : c0 + g]
-        c0 += g
-        parts.append(jax.lax.shift_right_logical(col, sh) & 1)
-    parts.append(jnp.zeros((EX_ROWS, EX_BITS - c0), jnp.int32))
-    bits = jnp.concatenate(parts, axis=1).astype(jnp.bfloat16)
+    # unpack all 1760 window bits at once: tile the 55 words 32x along
+    # lanes (pltpu.repeat is tile-semantics) and shift lane l by l // 55 —
+    # one vector op chain, no per-group loop, no reshape
+    u = pltpu.repeat(sw, 32, axis=1)  # (EX_ROWS, 1760)
+    lane_bit = jax.lax.broadcasted_iota(jnp.int32, (EX_ROWS, EX_BITS), 1) // 55
+    bits = (jax.lax.shift_right_logical(u, lane_bit) & 1).astype(jnp.bfloat16)
 
     counts = jax.lax.dot(
-        bits, m1_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        bits, m1_ref[:], preferred_element_type=jnp.float32
     ).astype(jnp.int32)  # (EX_ROWS, 320), exact integers < 256
     parity = (counts & 1).astype(jnp.bfloat16)
     syn = jax.lax.dot(
-        parity, m2_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        parity, m2_ref[:], preferred_element_type=jnp.float32
     ).astype(jnp.int32)  # (EX_ROWS, 16): sums of distinct 2^k, exact
 
     msg = jnp.concatenate(
@@ -427,7 +432,7 @@ def extract_syndromes_pallas(
     """
     k = rows.shape[0]
     assert k % EX_ROWS == 0, k
-    m1, m2, sh = _extract_mats()
+    m1, m2 = _extract_mats()
     return pl.pallas_call(
         _extract_kernel,
         out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
@@ -437,16 +442,14 @@ def extract_syndromes_pallas(
             pl.BlockSpec((EX_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((EX_BITS, 320), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((320, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, EX_BITS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((EX_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
         offsets.reshape(k, 1),
         rows,
-        jnp.asarray(m1),
-        jnp.asarray(m2),
-        jnp.asarray(sh),
+        jnp.asarray(m1, dtype=jnp.bfloat16),  # entries <= 128: bf16-exact
+        jnp.asarray(m2, dtype=jnp.bfloat16),  # powers of two: bf16-exact
     )
 
 

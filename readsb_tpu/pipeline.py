@@ -106,6 +106,7 @@ class Demodulator:
         self.nfix = nfix
         self.fix_df = fix_df
         self.gate_k2 = 1024
+        self.gate_keep_l = 64
         self._gate_drops = [0, 0, 0]  # preambles, rejected_unknown, rejected_bad
         if self.use_gate:
             from .ops.gate import DeviceIcaoMirror
@@ -296,11 +297,13 @@ class Demodulator:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every"),
+    static_argnames=(
+        "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every", "keep_l",
+    ),
 )
 def _demod_and_gate(
     mag, overlap, valid_len, threshold, known_tbl,
-    *, k, scan_len, l, k2, nfix, fix_df, reset_every,
+    *, k, scan_len, l, k2, nfix, fix_df, reset_every, keep_l=64,
 ):
     """One dispatch: concat overlap, demod, score-gate, block stats.
 
@@ -316,7 +319,7 @@ def _demod_and_gate(
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
         scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
-        reset_every=reset_every,
+        reset_every=reset_every, keep_l=keep_l,
     )
     i = jnp.arange(mag.shape[0], dtype=jnp.int32)
     mv = jnp.where(i < valid_len, mag.astype(jnp.float32), 0.0)
@@ -350,12 +353,16 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
             nfix=self.nfix,
             fix_df=self.fix_df,
             reset_every=self.block_samples,
+            keep_l=self.gate_keep_l,
         )
-        n, max_local, n_keep = jax.device_get(
-            [gc.n_cand, gc.max_local, gc.n_keep]
+        n, max_local, n_keep, kw = jax.device_get(
+            [gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]
         )
-        n, max_local, n_keep = int(n), int(max_local), int(n_keep)
-        if n <= self.k and max_local <= self.compact_l and n_keep <= self.gate_k2:
+        n, max_local, n_keep, kw = int(n), int(max_local), int(n_keep), int(kw)
+        if (
+            n <= self.k and max_local <= self.compact_l
+            and n_keep <= self.gate_k2 and kw <= self.gate_keep_l
+        ):
             break
         while self.k < n:
             self.k *= 2
@@ -363,6 +370,8 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
             self.compact_l *= 2
         while self.gate_k2 < n_keep:
             self.gate_k2 *= 2
+        while self.gate_keep_l < kw:
+            self.gate_keep_l *= 2
 
     # one batched fetch of everything the host needs this superblock
     (offs, cf, msg, s112, s56, sl, ss, pre_d, unk_d, bad_d, dcq, dcb, lv, pw) = (
@@ -428,12 +437,13 @@ Demodulator._demod_mag_gated = _demod_mag_gated
     jax.jit,
     static_argnames=(
         "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every",
-        "seg_stride", "seg_valid",
+        "seg_stride", "seg_valid", "keep_l",
     ),
 )
 def _demod_and_gate_multi(
     mags, overlaps, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every, seg_stride, seg_valid,
+    keep_l=64,
 ):
     """One dispatch demodulating C channels (SURVEY 2.5 batch axis).
 
@@ -458,7 +468,7 @@ def _demod_and_gate_multi(
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
         scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
-        reset_every=reset_every, seg_stride=seg_stride,
+        reset_every=reset_every, seg_stride=seg_stride, keep_l=keep_l,
     )
     i = jnp.arange(seg_valid, dtype=jnp.int32)[None, :]
     mv = jnp.where(i < valid_len, mags.astype(jnp.float32), 0.0)
@@ -514,6 +524,7 @@ class MultiDemodulator:
         self.k = k_per_block * blocks_per_batch * n_chan
         self.compact_l = 64
         self.gate_k2 = max(1024, 64 * n_chan)
+        self.gate_keep_l = 64
         self.mirror = DeviceIcaoMirror()
         self.fins = []
         native_cls = None
@@ -605,11 +616,18 @@ class MultiDemodulator:
                 reset_every=self.block_samples,
                 seg_stride=self.seg_stride,
                 seg_valid=self.seg_valid,
+                keep_l=self.gate_keep_l,
             )
-            n, max_local, n_keep = map(
-                int, jax.device_get([gc.n_cand, gc.max_local, gc.n_keep])
+            n, max_local, n_keep, kw = map(
+                int,
+                jax.device_get(
+                    [gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]
+                ),
             )
-            if n <= self.k and max_local <= self.compact_l and n_keep <= self.gate_k2:
+            if (
+                n <= self.k and max_local <= self.compact_l
+                and n_keep <= self.gate_k2 and kw <= self.gate_keep_l
+            ):
                 break
             while self.k < n:
                 self.k *= 2
@@ -617,6 +635,8 @@ class MultiDemodulator:
                 self.compact_l *= 2
             while self.gate_k2 < n_keep:
                 self.gate_k2 *= 2
+            while self.gate_keep_l < kw:
+                self.gate_keep_l *= 2
 
         (offs, cf, msgb, s112, s56, sl, ss, dcq, dcb, dcc, lv, pw) = jax.device_get(
             [

@@ -42,7 +42,7 @@ def app_run(capture_small, tmp_path_factory):
     )
 
     # wait for listeners
-    deadline = time.time() + 60
+    deadline = time.time() + 180
     for port in (ro, sbs, api):
         while time.time() < deadline:
             try:
