@@ -4,38 +4,29 @@ Prints ONE JSON line:
   {"metric": "demod_throughput", "value": <M samples/s>, "unit": "Msamples/s",
    "vs_baseline": <value / 2.4>}
 
-Baseline: the reference readsb demodulator sustains 2.4 MS/s realtime on a
-single CPU core (BASELINE.md); vs_baseline is therefore the "x realtime"
-factor per chip.  North star: >= 1000x (2.4 G samples/s/chip).
+Baseline: the reference readsb demodulator sustains 2.4 MS/s realtime on
+a single CPU core (BASELINE.md); vs_baseline is the "x realtime" factor
+per chip.  North star: >= 1000x (2.4 G samples/s/chip).
 
-The workload is realistic: Gaussian noise at a typical SDR noise floor plus
-embedded ADS-B traffic, pre-rendered as UC8 IQ bytes.  Measurements:
+The headline is the AGGREGATE multichannel rate: 64 virtual receiver
+channels (one 131072-sample block each — the reference's SDR buffer
+cadence, readsb.c:228) demodulated by one dispatch of the production
+channel-batched program (pipeline._demod_and_gate_multi), i.e. the
+designed batch x phase x channel route to the north star (SURVEY 2.5).
+A single-channel 64-block superblock is measured as an extra.
 
-  device  — the jitted device program alone (UC8 bytes -> magnitudes
-            (Pallas kernel) -> dense preamble correlations -> two-level
-            candidate compaction -> 5-phase slicing -> CRC syndromes ->
-            score gate), back-to-back dispatches.  This is the headline
-            metric, printed IMMEDIATELY when measured (round-2 lesson:
-            the driver's wall clock is unforgiving; everything after the
-            JSON line is best-effort extra).
-  e2e     — full streaming pipeline: device program + candidate transfer
-            to host + native (C++) finalizer producing scored frames.
-            Through the axon tunnel the transfer dominates; on directly
-            attached hardware e2e approaches the device number.
+Measurement methodology (round-3; see tools/tpu_session.py and the
+verify skill): through the axon relay, block_until_ready can return
+fire-and-forget mirages and explicit readbacks cost ~26 ms + 50 ms/MB.
+Reps therefore thread an int32 carry (derived from the outputs) back
+into the next dispatch's overlap rows: compute serializes ON DEVICE and
+one scalar readback settles the chain; the null-chain dispatch overhead
+(~1 ms) is measured and subtracted.
 
-Compile-time rule (round-3 lesson): the cold remote compile through the
-axon relay takes ~2 minutes — more than the driver budget.  bench.py
-therefore enables the JAX persistent compilation cache in-repo
-(.jax_cache/, committed) so the driver run deserializes the executable
-instead of recompiling.
-
-Axon-relay measurement rule (discovered round 2, see PROGRESS notes):
-jax.block_until_ready() is a NO-OP until the process performs its first
-device->host readback; timings taken before that are fire-and-forget
-mirages (they report impossible >30 PFLOPS).  Every timing below runs
-after an explicit readback ("poisoning"), which makes dispatches honest
-(each carries ~2.4 ms of relay round-trip — real TPU hosts don't pay
-this; we amortize it with large superblocks).
+Compile-time rule: cold remote compiles take minutes — more than the
+driver budget — so bench.py uses the committed .jax_cache_bench/
+persistent cache; keep it warm by rerunning bench.py after touching the
+device program.
 """
 
 import json
@@ -49,11 +40,9 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
 T_START = time.time()
-# Best-effort wall budget for the *extras* (everything after the JSON
-# headline).  The headline itself is never cut short.
-EXTRAS_DEADLINE_S = float(os.environ.get("BENCH_EXTRAS_DEADLINE", "210"))
+EXTRAS_DEADLINE_S = float(os.environ.get("BENCH_EXTRAS_DEADLINE", "240"))
 
-N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N_CHAN = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 
 def mark(what):
@@ -80,9 +69,7 @@ def build_workload(n_blocks: int, seed: int = 3):
 def run():
     import jax
 
-    # persistent executable cache: the driver's cold run must not pay the
-    # ~2-minute remote compile (see module docstring)
-    cache_dir = os.path.join(_REPO, ".jax_cache")
+    cache_dir = os.path.join(_REPO, ".jax_cache_bench")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -92,88 +79,106 @@ def run():
 
     import jax.numpy as jnp
 
-    from readsb_tpu.constants import TRAILING_SAMPLES
+    from readsb_tpu.constants import BLOCK_SAMPLES, TRAILING_SAMPLES
     from readsb_tpu import pipeline as pl_mod
-    from readsb_tpu.pipeline import Demodulator
+    from readsb_tpu.pipeline import MultiDemodulator
 
-    raw, total = build_workload(N_BLOCKS)
+    raw, total = build_workload(N_CHAN)
     mark("workload built")
 
-    demod = Demodulator(fmt="uc8", blocks_per_batch=N_BLOCKS)
-    native = demod.native is not None
+    # one 131072-sample block per channel per dispatch
+    multi = MultiDemodulator(N_CHAN, blocks_per_batch=1)
+    chunks = [
+        bytes(raw[c * BLOCK_SAMPLES * 2 : (c + 1) * BLOCK_SAMPLES * 2])
+        for c in range(N_CHAN)
+    ]
 
-    # poison: make all subsequent timings honest (see module docstring)
     _ = float(jnp.sum(jnp.zeros(8, jnp.float32)))
     mark("device attached")
 
-    # --- device program: compile once via the streaming pipeline ------------
-    demod.feed(bytes(raw))
-    mark("pipeline compiled + warm")
+    frames = multi.feed(chunks)
+    nframes = sum(len(f) for f in frames)
+    mark(f"pipeline compiled + warm ({nframes} frames, k={multi.k})")
 
-    mag = pl_mod._to_mag(np.frombuffer(raw, dtype=np.uint8), "uc8")
-    jax.block_until_ready(mag)
-    mirror = demod.icao_mirror
-    dev_args = dict(
-        k=demod.k, scan_len=total, l=demod.compact_l, k2=demod.gate_k2,
-        nfix=demod.nfix, fix_df=demod.fix_df, reset_every=demod.block_samples,
+    mags = pl_mod._to_mag(np.frombuffer(raw, dtype=np.uint8), "uc8").reshape(
+        N_CHAN, BLOCK_SAMPLES
     )
-    overlap0 = jnp.zeros(TRAILING_SAMPLES, jnp.uint16)
-    vl = jnp.int32(total)
+    jax.block_until_ready(mags)
+    margs = dict(
+        k=multi.k, scan_len=multi.scan_len, l=multi.compact_l, k2=multi.gate_k2,
+        nfix=multi.nfix, fix_df=multi.fix_df, reset_every=multi.block_samples,
+        seg_stride=multi.seg_stride, seg_valid=multi.seg_valid,
+        keep_l=multi.gate_keep_l,
+    )
+    vl = jnp.int32(multi.seg_valid)
     thr = jnp.int32(58)
+    tbl = multi.mirror.tbl
 
-    def dev_call():
-        return pl_mod._demod_and_gate(
-            mag, overlap0, vl, thr, mirror.tbl, **dev_args
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=tuple(margs))
+    def chain(c, **kw):
+        ovs = jnp.zeros((N_CHAN, TRAILING_SAMPLES), jnp.uint16) + c.astype(jnp.uint16)
+        gc, ov2, lv, pw = pl_mod._demod_and_gate_multi(
+            mags, ovs, vl, thr, tbl, **kw
         )
+        return gc.n_cand + gc.n_keep + gc.offsets[5]
 
-    out = dev_call()
-    jax.block_until_ready(out)
-    true_cand = int(out[0].n_cand)
+    @jax.jit
+    def chain_null(c):
+        return c + 1
 
+    # null chain: per-rep dispatch overhead
+    c = chain_null(jnp.int32(0))
+    int(c)
+    t0 = time.perf_counter()
+    c = jnp.int32(0)
+    for _ in range(50):
+        c = chain_null(c)
+    int(c)
+    ovh = (time.perf_counter() - t0) / 50
+    mark(f"null-chain overhead {ovh*1e3:.2f} ms/rep")
+
+    c = chain(jnp.int32(0), **margs)
+    int(c)
+    mark("measurement program warm")
     reps = 10
-    best_dev = float("inf")
+    best = float("inf")
     for _ in range(3):
+        c = jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = dev_call()
-            # per-rep scalar readback: through the axon relay
-            # block_until_ready alone has been caught reporting
-            # fire-and-forget mirages even after poisoning; the explicit
-            # transfer makes every rep honest (costs ~1 relay RTT, which
-            # a real streaming deployment pays anyway)
-            int(out[0].n_keep)
-        best_dev = min(best_dev, (time.perf_counter() - t0) / reps)
-    dev_msps = total / best_dev / 1e6
+            c = chain(c, **margs)
+        int(c)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    net = max(best - ovh, 1e-9)
+    msps = total / net / 1e6
 
     # ---- HEADLINE: print the moment it exists; extras follow ----------------
     print(
         json.dumps(
             {
                 "metric": "demod_throughput",
-                "value": round(dev_msps, 1),
+                "value": round(msps, 1),
                 "unit": "Msamples/s",
-                "vs_baseline": round(dev_msps / 2.4, 1),
+                "vs_baseline": round(msps / 2.4, 1),
             }
         ),
         flush=True,
     )
     mark(
-        f"device metric done: blocks={N_BLOCKS} best={best_dev*1e3:.1f}ms"
-        f" -> {dev_msps:.0f} MS/s | candidates={true_cand}"
-        f" (k={demod.k}, l={demod.compact_l}) | {jax.devices()[0]}"
+        f"headline: C={N_CHAN} channels x 1 block, {net*1e3:.1f} ms/dispatch"
+        f" -> {msps:.0f} MS/s aggregate ({msps/2.4:.0f}x realtime)"
+        f" | {jax.devices()[0]}"
     )
 
     # --- extras (best-effort within the wall budget) ------------------------
     if time.time() - T_START < EXTRAS_DEADLINE_S:
-        e2e_reps = 2
         t0 = time.perf_counter()
-        nframes = 0
-        for _ in range(e2e_reps):
-            nframes += len(demod.feed(bytes(raw)))
+        nframes = sum(len(f) for f in multi.feed(chunks))
         dt = time.perf_counter() - t0
-        e2e_msps = total * e2e_reps / dt / 1e6
         mark(
-            f"e2e(native={native}): {e2e_msps:.0f} MS/s, {nframes} frames"
+            f"e2e multichannel feed: {total/dt/1e6:.0f} MS/s, {nframes} frames"
             " (relay-transfer-bound here; PCIe hosts approach the device rate)"
         )
     else:

@@ -142,17 +142,38 @@ class Demodulator:
     # ------------------------------------------------------------------
 
     def feed(self, raw: bytes) -> list[RawFrame]:
-        """Feed raw IQ bytes; returns frames completed by full superblocks."""
+        """Feed raw IQ bytes; returns frames completed by full superblocks.
+
+        When several superblocks are available, the next chunk's upload +
+        magnitude conversion is dispatched before the current chunk's
+        host-side finalize — the async analog of the reference's
+        12-buffer reader->decode ring (readsb.h:855): device transfer
+        overlaps host scoring without changing any per-superblock
+        semantics (the demod dispatch itself still happens after the
+        previous finalize so the ICAO gate table is exact).
+        """
         bps = _BYTES_PER_SAMPLE[self.fmt]
         data = self._pending + raw
         super_bytes = self.super_samples * bps
         frames: list[RawFrame] = []
+        chunks = []
         off = 0
         while len(data) - off >= super_bytes:
-            chunk = np.frombuffer(data, dtype=np.uint8, count=super_bytes, offset=off)
-            frames.extend(self._process(chunk, self.super_samples))
+            chunks.append(
+                np.frombuffer(data, dtype=np.uint8, count=super_bytes, offset=off)
+            )
             off += super_bytes
         self._pending = data[off:]
+        if len(chunks) > 1 and self.use_gate and not self.modeac:
+            next_mag = _to_mag(chunks[0], self.fmt)
+            for i in range(len(chunks)):
+                mag = next_mag
+                if i + 1 < len(chunks):
+                    next_mag = _to_mag(chunks[i + 1], self.fmt)  # prefetch
+                frames.extend(self._demod_mag_gated(mag, self.super_samples))
+            return frames
+        for chunk in chunks:
+            frames.extend(self._process(chunk, self.super_samples))
         return frames
 
     def flush(self) -> list[RawFrame]:
