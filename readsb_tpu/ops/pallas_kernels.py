@@ -319,7 +319,7 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
 # Output lanes: 0:5 syn112[phase], 5:10 syn56[phase], 10:80 msg bytes
 # (phase-major, 14 per phase), 80:83 correlation-lane bits, rest zero.
 
-EX_ROWS = 1024  # candidates per grid step (VMEM-bound: ~13 MB live)
+EX_ROWS = 512  # candidates per grid step (1024 exceeds the 16 MB VMEM scope)
 # the aligned 5-plane window is 55 words = 1760 bits; every window bit is
 # a matmul input row (collisions between phases simply sum — linearity)
 EX_BITS = 55 * 32
