@@ -834,6 +834,7 @@ class App:
                 InputService(
                     "beast_in", self._beast_input_factory(),
                     ping=args.net_ingest, reject_ms=args.ping_reject,
+                    on_rtt=self.stats_collector.note_rtt,
                 ), args.net_bi_port
             )
         if args.net_ri_port:

@@ -132,6 +132,10 @@ def aircraft_dict(tracker: Tracker, a: Aircraft, now: int) -> dict:
         o["version"] = a.adsb_version
     if a.nic_baro_valid.valid(now):
         o["nic_baro"] = a.nic_baro
+    if a.acas_ra and a.acas_ra_valid.age(now) < 15 * 1000:
+        from .acas import json_record
+
+        o["acas_ra"] = json_record(a.addr, a.acas_ra, None, None, now)
     if a.nac_p_valid.valid(now):
         o["nac_p"] = a.nac_p
     if a.nac_v_valid.valid(now):

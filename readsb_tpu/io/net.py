@@ -39,9 +39,10 @@ class PingState:
     # seconds (pingSenders, net_io.c:1322); env override for tests
     PING_INTERVAL = float(__import__("os").environ.get("READSB_PING_INTERVAL", "5"))
 
-    def __init__(self, reject_ms: float = 300.0):
+    def __init__(self, reject_ms: float = 300.0, on_rtt=None):
         self.enabled = False  # set by the client's 'W' 'O' command
         self.reject_ms = reject_ms
+        self.on_rtt = on_rtt  # e.g. StatsCollector.note_rtt
         self.rtt = 0.0
         self.recent_rtt = -1.0
         self.latest_rtt = -1.0
@@ -67,6 +68,8 @@ class PingState:
         else:
             self.latest_rtt = self.latest_rtt * 0.9 + self.rtt * 0.1
         self.pongs += 1
+        if self.on_rtt is not None:
+            self.on_rtt(float(self.rtt))
 
     @property
     def should_shed(self) -> bool:
@@ -254,11 +257,13 @@ class InputService:
         *,
         ping: bool = False,
         reject_ms: float = 300.0,
+        on_rtt=None,
     ):
         self.name = name
         self.connection_factory = connection_factory
         self.ping = ping
         self.reject_ms = reject_ms
+        self.on_rtt = on_rtt
         self.clients_shed = 0
         self.connections = 0
 
@@ -285,7 +290,9 @@ class InputService:
         peer = writer.get_extra_info("peername")
         self.connections += 1
         log.info("%s: feeder %s connected", self.name, peer)
-        ping_state = PingState(self.reject_ms) if self.ping else None
+        ping_state = (
+            PingState(self.reject_ms, on_rtt=self.on_rtt) if self.ping else None
+        )
         conn.ping_state = ping_state
         conn.writer = writer
         ping_task = (

@@ -77,9 +77,14 @@ def _aircraft_to_dict(a: Aircraft) -> dict:
         if isinstance(val, Validity):
             out[f.name] = _validity_to_list(val)
         elif isinstance(val, CprPair):
-            out[f.name] = [val.lat, val.lon, int(val.type), _validity_to_list(val.valid)]
+            out[f.name] = [
+                val.lat, val.lon, int(val.type), _validity_to_list(val.valid),
+                val.nic, val.rc,
+            ]
         elif isinstance(val, (Source, AddrType, AirGround, HeadingType)):
             out[f.name] = int(val)
+        elif isinstance(val, bytes):
+            out[f.name] = {"__hex": val.hex()}
         else:
             out[f.name] = val
     return out
@@ -95,16 +100,21 @@ def _aircraft_from_dict(d: dict) -> Aircraft:
         if isinstance(cur, Validity):
             setattr(a, f.name, _validity_from_list(val))
         elif isinstance(cur, CprPair):
-            setattr(
-                a, f.name,
-                CprPair(lat=val[0], lon=val[1], type=val[2], valid=_validity_from_list(val[3])),
+            pair = CprPair(
+                lat=val[0], lon=val[1], type=val[2],
+                valid=_validity_from_list(val[3]),
             )
+            if len(val) >= 6:  # nic/rc added round 3
+                pair.nic, pair.rc = val[4], val[5]
+            setattr(a, f.name, pair)
         elif isinstance(cur, AirGround):
             setattr(a, f.name, AirGround(val))
         elif isinstance(cur, AddrType):
             setattr(a, f.name, AddrType(val))
         elif isinstance(cur, HeadingType):
             setattr(a, f.name, HeadingType(val))
+        elif isinstance(val, dict) and "__hex" in val:
+            setattr(a, f.name, bytes.fromhex(val["__hex"]))
         else:
             setattr(a, f.name, val)
     tr = _trace_from_dict(d.get("__trace"))

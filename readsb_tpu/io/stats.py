@@ -158,6 +158,24 @@ class StatsCollector:
         self.cpu = {"demod": 0.0, "reader": 0.0, "background": 0.0}
         # live signal accounting, fed per accepted local frame
         self._sig = [0.0, 0, 0.0, 0]  # sum, n, peak, strong
+        self.remote_ping_rtt = [0] * self.PING_BUCKETS
+
+    # RTT histogram buckets (PING_BUCKETS, readsb.h:332-334)
+    PING_BUCKETS = 20
+    PING_BUCKETBASE = 24.0
+    PING_BUCKETMULT = 1.2
+
+    def note_rtt(self, rtt_ms: float) -> None:
+        """Bucket a feeder ping RTT (pongReceived, net_io.c:1384-1396)."""
+        bucketmax, bucketsize = 0.0, self.PING_BUCKETBASE
+        bucket = self.PING_BUCKETS - 1
+        for i in range(self.PING_BUCKETS):
+            bucketmax = round((bucketmax + bucketsize) / 10) * 10
+            bucketsize *= self.PING_BUCKETMULT
+            if rtt_ms <= bucketmax:
+                bucket = i
+                break
+        self.remote_ping_rtt[bucket] += 1
 
     def note_signal(self, power: float) -> None:
         s = self._sig
@@ -323,6 +341,11 @@ def generate_prom(app, now_ms: int) -> str:
         f"readsb_cpr_airborne {t.cpr_airborne}",
         f"readsb_uptime_seconds {time.time() - app.start_time:.1f}",
     ]
+    if getattr(app, "stats_collector", None) is not None:
+        sc = app.stats_collector
+        if any(sc.remote_ping_rtt):
+            for i, v in enumerate(sc.remote_ping_rtt):
+                lines.append(f'readsb_remote_ping_rtt{{bucket="{i}"}} {v}')
     if app._demod is not None:
         st = app._demod.stats
         lines += [

@@ -320,6 +320,8 @@ class Aircraft:
     sil_valid: Validity = dataclasses.field(default_factory=Validity)
     gva: int = 0
     gva_valid: Validity = dataclasses.field(default_factory=Validity)
+    acas_ra: bytes = b""
+    acas_ra_valid: Validity = dataclasses.field(default_factory=Validity)
     sda: int = 0
     sda_valid: Validity = dataclasses.field(default_factory=Validity)
 
@@ -619,6 +621,16 @@ class Tracker:
             a.sil_type = int(mm.sil_type)
         if mm.gva is not None and self._accept(a, a.gva_valid, src, now):
             a.gva = mm.gva
+        if mm.acas_ra_valid:
+            ra = (mm.MV if mm.msgtype == 16 else
+                  mm.MB if mm.msgtype in (20, 21) else mm.ME)
+            if ra:
+                from ..io.acas import ra_valid as _ra_valid
+
+                if _ra_valid(bytes(ra), mm.msgtype) and self._accept(
+                    a, a.acas_ra_valid, src, now
+                ):
+                    a.acas_ra = bytes(ra)
         if mm.sda is not None and self._accept(a, a.sda_valid, src, now):
             a.sda = mm.sda
 
