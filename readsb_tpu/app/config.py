@@ -9,6 +9,18 @@ from __future__ import annotations
 import argparse
 
 
+
+
+def _ports(v: str) -> list[int]:
+    """Comma-separated listen port list (the reference accepts e.g.
+    --net-bi-port 30004,30104; serviceListen splits on commas)."""
+    out = []
+    for tok in str(v).split(","):
+        tok = tok.strip()
+        if tok and int(tok):
+            out.append(int(tok))
+    return out
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="readsb-tpu",
@@ -62,27 +74,27 @@ def build_parser() -> argparse.ArgumentParser:
     # --- net
     p.add_argument("--net", action="store_true", help="enable networking")
     p.add_argument("--net-only", action="store_true", help="no SDR, network input only")
-    p.add_argument("--net-ri-port", type=int, default=0, help="raw input listen port")
-    p.add_argument("--net-ro-port", type=int, default=0, help="raw output listen port")
-    p.add_argument("--net-bi-port", type=int, default=0, help="beast input listen port")
-    p.add_argument("--net-bo-port", type=int, default=0, help="beast output listen port")
-    p.add_argument("--net-sbs-port", type=int, default=0, help="SBS output listen port")
-    p.add_argument("--net-sbs-in-port", type=int, default=0, help="SBS input listen port")
-    p.add_argument("--net-json-port", type=int, default=0, help="per-position json output port")
+    p.add_argument("--net-ri-port", type=_ports, default=[], help="raw input listen port")
+    p.add_argument("--net-ro-port", type=_ports, default=[], help="raw output listen port")
+    p.add_argument("--net-bi-port", type=_ports, default=[], help="beast input listen port")
+    p.add_argument("--net-bo-port", type=_ports, default=[], help="beast output listen port")
+    p.add_argument("--net-sbs-port", type=_ports, default=[], help="SBS output listen port")
+    p.add_argument("--net-sbs-in-port", type=_ports, default=[], help="SBS input listen port")
+    p.add_argument("--net-json-port", type=_ports, default=[], help="per-position json output port")
     p.add_argument("--net-garbage", dest="net_garbage_port", type=int, default=0,
                    help="beast output port for frames from quarantined feeders")
     p.add_argument("--net-api-port", type=int, default=0, help="/re-api query port")
-    p.add_argument("--net-uat-in-port", type=int, default=0,
+    p.add_argument("--net-uat-in-port", type=_ports, default=[],
                    help="dump978 raw text input listen port (UAT -> synthetic DF18)")
-    p.add_argument("--net-uat-replay-port", type=int, default=0,
+    p.add_argument("--net-uat-replay-port", type=_ports, default=[],
                    help="replay received UAT raw lines to clients")
-    p.add_argument("--net-vrs-port", type=int, default=0, help="VRS-format json output port")
+    p.add_argument("--net-vrs-port", type=_ports, default=[], help="VRS-format json output port")
     p.add_argument("--net-vrs-interval", type=float, default=5.0)
-    p.add_argument("--net-ai-port", type=int, default=0,
+    p.add_argument("--net-ai-port", type=_ports, default=[],
                    help="ASTERIX CAT021 input listen port")
-    p.add_argument("--net-ao-port", type=int, default=0,
+    p.add_argument("--net-ao-port", type=_ports, default=[],
                    help="ASTERIX CAT021 output listen port")
-    p.add_argument("--net-beast-reduce-out-port", type=int, default=0,
+    p.add_argument("--net-beast-reduce-out-port", type=_ports, default=[],
                    help="rate-limited/deduplicated beast output (reduce_forward)")
     p.add_argument("--net-beast-reduce-interval", type=float, default=0.125,
                    help="per-aircraft reduce forwarding interval (s)")

@@ -815,68 +815,90 @@ class App:
         self.net.listen_input = _ft.partial(self.net.listen_input, host=args.net_bind_address) \
             if args.net_bind_address != "0.0.0.0" else self.net.listen_input
         if args.net_ro_port:
-            await self.net.listen_output(self.out_raw, args.net_ro_port)
+            for _p in args.net_ro_port:
+                await self.net.listen_output(self.out_raw, _p)
         if args.net_bo_port:
-            await self.net.listen_output(self.out_beast, args.net_bo_port)
+            for _p in args.net_bo_port:
+                await self.net.listen_output(self.out_beast, _p)
         if args.net_sbs_port:
-            await self.net.listen_output(self.out_sbs, args.net_sbs_port)
-            if args.net_sbs_port % 10 == 5:
-                await self.net.listen_output(self.out_sbs_replay, args.net_sbs_port + 1)
-                await self.net.listen_output(self.out_sbs_mlat, args.net_sbs_port + 2)
-                await self.net.listen_output(self.out_sbs_prio, args.net_sbs_port + 3)
-                await self.net.listen_output(self.out_sbs_jaero, args.net_sbs_port + 4)
+            for _p in args.net_sbs_port:
+                await self.net.listen_output(self.out_sbs, _p)
+            base = args.net_sbs_port[0]
+            if base % 10 == 5:
+                await self.net.listen_output(self.out_sbs_replay, base + 1)
+                await self.net.listen_output(self.out_sbs_mlat, base + 2)
+                await self.net.listen_output(self.out_sbs_prio, base + 3)
+                await self.net.listen_output(self.out_sbs_jaero, base + 4)
         if args.net_json_port:
-            await self.net.listen_output(self.out_json, args.net_json_port)
+            for _p in args.net_json_port:
+                await self.net.listen_output(self.out_json, _p)
         if args.net_garbage_port:
-            await self.net.listen_output(self.out_garbage, args.net_garbage_port)
+            for _p in args.net_garbage_port:
+                await self.net.listen_output(self.out_garbage, _p)
         if args.net_bi_port:
             await self.net.listen_input(
                 InputService(
                     "beast_in", self._beast_input_factory(),
                     ping=args.net_ingest, reject_ms=args.ping_reject,
                     on_rtt=self.stats_collector.note_rtt,
-                ), args.net_bi_port
+                ), args.net_bi_port[0]
             )
+            for _p in args.net_bi_port[1:]:
+                await self.net.listen_input(
+                    InputService(
+                        "beast_in", self._beast_input_factory(),
+                        ping=args.net_ingest, reject_ms=args.ping_reject,
+                        on_rtt=self.stats_collector.note_rtt,
+                    ), _p
+                )
         if args.net_ri_port:
             await self.net.listen_input(
-                InputService("raw_in", self._raw_input_factory()), args.net_ri_port
+                InputService("raw_in", self._raw_input_factory()), args.net_ri_port[0]
             )
+            for _p in args.net_ri_port[1:]:
+                await self.net.listen_input(
+                    InputService("raw_in", self._raw_input_factory()), _p
+                )
         if args.net_uat_in_port:
             await self.net.listen_input(
-                InputService("uat_in", self._uat_input_factory()), args.net_uat_in_port
+                InputService("uat_in", self._uat_input_factory()),
+                args.net_uat_in_port[0],
             )
         if args.net_uat_replay_port:
-            await self.net.listen_output(self.out_uat_replay, args.net_uat_replay_port)
+            for _p in args.net_uat_replay_port:
+                await self.net.listen_output(self.out_uat_replay, _p)
         if args.net_vrs_port:
-            await self.net.listen_output(self.out_vrs, args.net_vrs_port)
+            for _p in args.net_vrs_port:
+                await self.net.listen_output(self.out_vrs, _p)
         if args.net_sbs_in_port:
             await self.net.listen_input(
-                InputService("sbs_in", self._sbs_input_factory()), args.net_sbs_in_port
+                InputService("sbs_in", self._sbs_input_factory()),
+                args.net_sbs_in_port[0],
             )
-            if args.net_sbs_in_port % 10 == 5:
+            if args.net_sbs_in_port[0] % 10 == 5:
                 await self.net.listen_input(
                     InputService("sbs_in_mlat", self._sbs_input_factory(Source.MLAT)),
-                    args.net_sbs_in_port + 2,
+                    args.net_sbs_in_port[0] + 2,
                 )
                 await self.net.listen_input(
                     InputService("sbs_in_prio", self._sbs_input_factory(Source.PRIO)),
-                    args.net_sbs_in_port + 3,
+                    args.net_sbs_in_port[0] + 3,
                 )
                 await self.net.listen_input(
                     InputService("sbs_in_jaero", self._sbs_input_factory(Source.JAERO)),
-                    args.net_sbs_in_port + 4,
+                    args.net_sbs_in_port[0] + 4,
                 )
         if args.net_ai_port:
             await self.net.listen_input(
                 InputService("asterix_in", self._asterix_input_factory()),
-                args.net_ai_port,
+                args.net_ai_port[0],
             )
         if args.net_ao_port:
-            await self.net.listen_output(self.out_asterix, args.net_ao_port)
+            for _p in args.net_ao_port:
+                await self.net.listen_output(self.out_asterix, _p)
         if args.net_beast_reduce_out_port:
-            await self.net.listen_output(
-                self.out_beast_reduce, args.net_beast_reduce_out_port
-            )
+            for _p in args.net_beast_reduce_out_port:
+                await self.net.listen_output(self.out_beast_reduce, _p)
         if args.write_json:
             os.makedirs(args.write_json, exist_ok=True)
             await self._command_socket(os.path.join(args.write_json, "cmd.sock"))
