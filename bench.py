@@ -100,10 +100,10 @@ def run():
     nframes = sum(len(f) for f in frames)
     mark(f"pipeline compiled + warm ({nframes} frames, k={multi.k})")
 
-    mags = pl_mod._to_mag(np.frombuffer(raw, dtype=np.uint8), "uc8").reshape(
-        N_CHAN, BLOCK_SAMPLES
+    words = jnp.asarray(
+        np.frombuffer(raw.tobytes(), dtype="<u2").reshape(N_CHAN, BLOCK_SAMPLES)
     )
-    jax.block_until_ready(mags)
+    jax.block_until_ready(words)
     margs = dict(
         k=multi.k, scan_len=multi.scan_len, l=multi.compact_l, k2=multi.gate_k2,
         nfix=multi.nfix, fix_df=multi.fix_df, reset_every=multi.block_samples,
@@ -118,10 +118,9 @@ def run():
 
     @functools.partial(jax.jit, static_argnames=tuple(margs))
     def chain(c, **kw):
+        # the production fused path: raw UC8 words, no magnitude array
         ovs = jnp.zeros((N_CHAN, TRAILING_SAMPLES), jnp.uint16) + c.astype(jnp.uint16)
-        gc, ov2, lv, pw = pl_mod._demod_and_gate_multi(
-            mags, ovs, vl, thr, tbl, **kw
-        )
+        gc = pl_mod._demod_and_gate_multi_raw(words, ovs, vl, thr, tbl, **kw)
         return gc.n_cand + gc.n_keep + gc.offsets[5]
 
     @jax.jit

@@ -292,10 +292,10 @@ def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
     nb = (scan_len + blk - 1) // blk
     pad = nb * blk - scan_len
     c2 = jnp.pad(cand, (0, pad)).reshape(nb, blk)
-    cf = c2.astype(jnp.float32)
+    cf = c2.astype(jnp.bfloat16)  # 0/1: exact; sums < 256: exact in f32 accum
 
     tri = jnp.asarray(
-        np.tril(np.ones((blk, blk), np.float32), -1)
+        np.tril(np.ones((blk, blk), np.float32), -1), dtype=jnp.bfloat16
     )  # tri[i, j] = 1 for j < i
     local_excl = jax.lax.dot(
         cf, tri.T, preferred_element_type=jnp.float32
@@ -310,13 +310,17 @@ def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
     )
     blk_of_rank = jax.lax.cummax(starts[:k])  # (k,)
 
-    # per-block compacted local offsets, capacity l
+    # per-block compacted local offsets, capacity l.  The one-hot has at
+    # most one 1 per (block, rank) column, so every output is a single
+    # product i * 1 with i < 256 — exact in bf16.
     j_iota = jnp.arange(l, dtype=jnp.int32)
     onehot = (
         (local_excl[:, :, None] == j_iota[None, None, :]) & c2[:, :, None]
-    ).astype(jnp.float32)  # (nb, blk, l)
-    i_iota = jnp.arange(blk, dtype=jnp.float32)
-    local_off = jnp.einsum("bil,i->bl", onehot, i_iota).astype(jnp.int32)
+    ).astype(jnp.bfloat16)  # (nb, blk, l)
+    i_iota = jnp.arange(blk, dtype=jnp.bfloat16)
+    local_off = jnp.einsum(
+        "bil,i->bl", onehot, i_iota, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
 
     rank = jnp.arange(k, dtype=jnp.int32)
     local_rank = rank - block_excl[blk_of_rank]
@@ -421,8 +425,14 @@ def _demod_core(
     l: int,
     seg_stride: int | None = None,
     seg_valid: int | None = None,
+    raw_uc8: bool = False,
 ):
     """Stages 1-5 of the demodulator (everything except signal power).
+
+    raw_uc8=True: buf is uint16 IQ *words* (one interleaved uc8 pair per
+    element) and the fused convert+dense Pallas kernel runs — the
+    magnitude array never exists in HBM.  TPU-only (the CPU parity path
+    converts first).
 
     Returns (BlockCandidates with zeroed sig fields, cs_hi, cs_lo); the
     callers attach signal sums where they need them — demod_block for all
@@ -445,7 +455,17 @@ def _demod_core(
     # --- stages 1/2/6a: dense scan (fused Pallas kernel on TPU) -------------
     from . import pallas_kernels
 
-    if pallas_kernels.supported():
+    if raw_uc8:
+        # pad with >= 512 extra zero words: the final tile's synthetic
+        # halo converts to loud magnitudes, so it must sit beyond every
+        # candidate window (dense_scan_uc8_pallas docstring)
+        tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
+        padded = ((buf.shape[0] + 512 + tile - 1) // tile) * tile
+        bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
+        corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_uc8_pallas(
+            bufp, threshold
+        )
+    elif pallas_kernels.supported():
         tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
         padded = ((buf.shape[0] + tile - 1) // tile) * tile
         bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
@@ -482,7 +502,7 @@ def _demod_core(
 
     from . import pallas_kernels as pk
 
-    if pk.supported() and k % pk.EX_ROWS == 0:
+    if (pk.supported() or raw_uc8) and k % pk.EX_ROWS == 0:
         # fused Pallas extraction: intermediates never leave VMEM
         comb = pk.extract_syndromes_pallas(rows, offsets)
         syn112 = comb[:, 0:5]

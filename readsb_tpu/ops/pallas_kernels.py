@@ -166,7 +166,6 @@ def _dense_scan_kernel(
     thr_ref, m_ref, halo_ref, wlo_ref, whi_ref,
     corr_ref, pw_ref, cs_hi_ref, cs_lo_ref, carry
 ):
-    rows = DENSE_ROWS
     thr = thr_ref[0]
     t_id = pl.program_id(0)
     # halo rows are replicated 8x so the dynamic index is provably aligned
@@ -174,6 +173,45 @@ def _dense_scan_kernel(
     m_ext = jnp.concatenate(
         [m_ref[:].astype(jnp.int32), halo_row.astype(jnp.int32)], axis=0
     )
+    _dense_body(thr, m_ext, wlo_ref, whi_ref, corr_ref, pw_ref,
+                cs_hi_ref, cs_lo_ref, carry)
+
+
+def _uc8_mag_i32(w_i32, sqtab_ref):
+    """uc8 word rows -> int32 magnitudes (the _uc8_kernel math)."""
+    ib = w_i32 & 0xFF
+    qb = (w_i32 >> 8) & 0xFF
+    ui = jnp.minimum(ib, 255 - ib)
+    uq = jnp.minimum(qb, 255 - qb)
+    tab = jnp.broadcast_to(sqtab_ref[:], (w_i32.shape[0], LANES))
+    sq_i = jnp.take_along_axis(tab, ui, axis=1)
+    sq_q = jnp.take_along_axis(tab, uq, axis=1)
+    sv = jnp.minimum(sq_i + sq_q, jnp.float32(1.0))
+    g = _cr_sqrt(sv)
+    m = g * jnp.float32(65535.0) + jnp.float32(0.5)
+    return m.astype(jnp.int32)
+
+
+def _dense_scan_uc8_kernel(
+    thr_ref, sqtab_ref, words_ref, halo_ref, wlo_ref, whi_ref,
+    corr_ref, pw_ref, cs_hi_ref, cs_lo_ref, carry
+):
+    """Fused UC8 convert + dense scan: raw IQ words in, scan planes out —
+    the magnitude array never round-trips through HBM."""
+    thr = thr_ref[0]
+    t_id = pl.program_id(0)
+    halo_row = halo_ref[pl.ds(pl.multiple_of(t_id * 8, 8), 8), :][:1]
+    w_ext = jnp.concatenate(
+        [words_ref[:].astype(jnp.int32), halo_row.astype(jnp.int32)], axis=0
+    )
+    m_ext = _uc8_mag_i32(w_ext, sqtab_ref)
+    _dense_body(thr, m_ext, wlo_ref, whi_ref, corr_ref, pw_ref,
+                cs_hi_ref, cs_lo_ref, carry)
+
+
+def _dense_body(thr, m_ext, wlo_ref, whi_ref,
+                corr_ref, pw_ref, cs_hi_ref, cs_lo_ref, carry):
+    rows = DENSE_ROWS
     at = _shifted_family(
         m_ext, rows, (0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 14, 15, 16, 17, 18)
     )
@@ -301,6 +339,69 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
         jnp.asarray(_pack_weights_np()[1]),
     )
     pwords = pw.reshape(5, rows * 4)  # word w covers samples 32w..32w+31
+    return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_scan_uc8_pallas(
+    words: jax.Array, threshold: jax.Array, *, interpret: bool = False
+):
+    """Fused UC8 convert + dense scan (see _dense_scan_uc8_kernel).
+
+    words: (n,) uint16 — one interleaved uc8 I/Q pair per element, with
+    n % (DENSE_ROWS*128) == 0 (caller pads with zero words; pad converts
+    to loud magnitudes, but every caller masks candidates to scan_len and
+    no candidate window reaches the pad).  Outputs match
+    dense_scan_pallas(mag_uc8_pallas(bytes), threshold) bit for bit
+    (tests/test_pallas.py).
+    """
+    n = words.shape[0]
+    tile = DENSE_ROWS * LANES
+    assert n % tile == 0, n
+    ntiles = n // tile
+    rows = n // LANES
+    w2d = words.reshape(rows, LANES)
+    halo_rows = jnp.concatenate(
+        [w2d[DENSE_ROWS::DENSE_ROWS][: ntiles - 1], jnp.zeros((1, LANES), words.dtype)]
+    ) if ntiles > 1 else jnp.zeros((1, LANES), words.dtype)
+    halo_rows = jnp.repeat(halo_rows, 8, axis=0)
+
+    corr, pw, cs_hi, cs_lo = pl.pallas_call(
+        _dense_scan_uc8_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
+            jax.ShapeDtypeStruct((5, rows, 4), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full halo array, tiny
+            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (5, DENSE_ROWS, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray(threshold, jnp.int32).reshape(1),
+        jnp.asarray(_sq_table_np()).reshape(1, LANES),
+        w2d,
+        halo_rows,
+        jnp.asarray(_pack_weights_np()[0]),
+        jnp.asarray(_pack_weights_np()[1]),
+    )
+    pwords = pw.reshape(5, rows * 4)
     return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
 
 

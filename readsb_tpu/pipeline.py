@@ -164,7 +164,10 @@ class Demodulator:
             )
             off += super_bytes
         self._pending = data[off:]
-        if len(chunks) > 1 and self.use_gate and not self.modeac:
+        if (
+            len(chunks) > 1 and self.use_gate and not self.modeac
+            and not (self.fmt == "uc8" and pallas_kernels.supported())
+        ):
             next_mag = _to_mag(chunks[0], self.fmt)
             for i in range(len(chunks)):
                 mag = next_mag
@@ -191,6 +194,12 @@ class Demodulator:
     # ------------------------------------------------------------------
 
     def _process(self, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
+        if (
+            self.use_gate and not self.modeac and self.fmt == "uc8"
+            and pallas_kernels.supported()
+        ):
+            # fused convert+dense path: raw words in, no magnitude array
+            return self._demod_raw_gated(raw_bytes, valid_len)
         mag = _to_mag(raw_bytes, self.fmt)
         if self.use_gate and not self.modeac:
             return self._demod_mag_gated(mag, valid_len)
@@ -350,6 +359,67 @@ def _demod_and_gate(
     return gc, buf[-TRAILING_SAMPLES:], level, power
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every", "keep_l",
+    ),
+)
+def _demod_and_gate_raw(
+    words, overlap_words, valid_len, threshold, known_tbl,
+    *, k, scan_len, l, k2, nfix, fix_df, reset_every, keep_l=64,
+):
+    """Fused-path variant of _demod_and_gate: raw UC8 words in, the
+    magnitude array never materializes (dense_scan_uc8_pallas).  Block
+    level/power stats are not produced on this path (only the Mode A/C
+    noise floor consumed them, and Mode A/C runs on the mag path)."""
+    from .ops.gate import score_gate
+
+    buf = jnp.concatenate([overlap_words, words])
+    bc, cs_hi, cs_lo = demod_ops._demod_core(
+        buf, threshold, k=k, scan_len=scan_len, l=l, raw_uc8=True
+    )
+    gc = score_gate(
+        bc, known_tbl, cs_hi, cs_lo, valid_len,
+        scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
+        reset_every=reset_every, keep_l=keep_l,
+    )
+    return gc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every",
+        "seg_stride", "seg_valid", "keep_l",
+    ),
+)
+def _demod_and_gate_multi_raw(
+    words, overlap_words, valid_len, threshold, known_tbl,
+    *, k, scan_len, l, k2, nfix, fix_df, reset_every, seg_stride, seg_valid,
+    keep_l=64,
+):
+    """Fused-path variant of _demod_and_gate_multi (raw UC8 words)."""
+    from .ops.gate import score_gate
+
+    c = words.shape[0]
+    gap = seg_stride - seg_valid - TRAILING_SAMPLES
+    seg = jnp.concatenate(
+        [overlap_words, words, jnp.zeros((c, gap), words.dtype)], axis=1
+    )
+    buf = jnp.pad(seg.reshape(-1), (0, 512))
+    bc, cs_hi, cs_lo = demod_ops._demod_core(
+        buf, threshold, k=k, scan_len=scan_len, l=l,
+        seg_stride=seg_stride, seg_valid=seg_valid, raw_uc8=True,
+    )
+    gc = score_gate(
+        bc, known_tbl, cs_hi, cs_lo, valid_len,
+        scan_len=scan_len, k2=k2, nfix=nfix, fix_df=fix_df,
+        reset_every=reset_every, seg_stride=seg_stride, keep_l=keep_l,
+    )
+    return gc
+
+
 def _sigsum(a: np.ndarray) -> np.ndarray:
     s = np.asarray(a, dtype=np.int64)
     return ((s[:, 0] << 16) + s[:, 1]).astype(np.float64)
@@ -395,19 +465,26 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
             self.gate_keep_l *= 2
 
     # one batched fetch of everything the host needs this superblock
-    (offs, cf, msg, s112, s56, sl, ss, pre_d, unk_d, bad_d, dcq, dcb, lv, pw) = (
+    (lv, pw) = jax.device_get([level, power])
+    self._overlap_dev = new_overlap
+    self.mean_level = float(lv)
+    self.mean_power = float(pw)
+    return _finalize_gated(self, gc, n_keep, valid_len)
+
+
+def _finalize_gated(self: Demodulator, gc, n_keep: int, valid_len: int) -> list[RawFrame]:
+    """Post-dispatch host half shared by the mag and raw gated paths."""
+    mirror = self.icao_mirror
+    (offs, cf, msg, s112, s56, sl, ss, pre_d, unk_d, bad_d, dcq, dcb) = (
         jax.device_get(
             [
                 gc.offsets, gc.corr_fired, gc.msg, gc.syn112, gc.syn56,
                 gc.sig_long, gc.sig_short,
                 gc.pre_drop, gc.unknown_drop, gc.bad_drop,
-                gc.drop_cum_q, gc.drop_cum_bnd, level, power,
+                gc.drop_cum_q, gc.drop_cum_bnd,
             ]
         )
     )
-    self._overlap_dev = new_overlap
-    self.mean_level = float(lv)
-    self.mean_power = float(pw)
     args = (offs, n_keep, cf, msg, s112, s56, _sigsum(sl), _sigsum(ss))
     kw = dict(
         scan_len=self.super_samples,
@@ -446,7 +523,49 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
     return frames
 
 
+def _demod_raw_gated(self: Demodulator, raw_bytes: np.ndarray, valid_len: int) -> list[RawFrame]:
+    """TPU fused path: raw UC8 words straight into the convert+dense
+    kernel; the magnitude array never exists in HBM.  Overlap is carried
+    as the last 326 raw words host-side (no device readback needed)."""
+    words = jnp.asarray(np.frombuffer(raw_bytes.tobytes(), dtype="<u2"))
+    if getattr(self, "_overlap_words", None) is None:
+        self._overlap_words = np.zeros(TRAILING_SAMPLES, dtype="<u2")
+    ow = jnp.asarray(self._overlap_words)
+    mirror = self.icao_mirror
+    while True:
+        gc = _demod_and_gate_raw(
+            words, ow, jnp.int32(valid_len), jnp.int32(self.threshold),
+            mirror.tbl,
+            k=self.k, scan_len=self.super_samples, l=self.compact_l,
+            k2=self.gate_k2, nfix=self.nfix, fix_df=self.fix_df,
+            reset_every=self.block_samples, keep_l=self.gate_keep_l,
+        )
+        n, max_local, n_keep, kw2 = map(
+            int,
+            jax.device_get([gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]),
+        )
+        if (
+            n <= self.k and max_local <= self.compact_l
+            and n_keep <= self.gate_k2 and kw2 <= self.gate_keep_l
+        ):
+            break
+        while self.k < n:
+            self.k *= 2
+        while self.compact_l < max_local:
+            self.compact_l *= 2
+        while self.gate_k2 < n_keep:
+            self.gate_k2 *= 2
+        while self.gate_keep_l < kw2:
+            self.gate_keep_l *= 2
+
+    self._overlap_words = np.frombuffer(
+        raw_bytes.tobytes(), dtype="<u2"
+    )[-TRAILING_SAMPLES:]
+    return _finalize_gated(self, gc, n_keep, valid_len)
+
+
 Demodulator._demod_mag_gated = _demod_mag_gated
+Demodulator._demod_raw_gated = _demod_raw_gated
 
 
 # ---------------------------------------------------------------------------
@@ -618,27 +737,54 @@ class MultiDemodulator:
     # ------------------------------------------------------------------
 
     def _process(self, chunk: np.ndarray, valid_len: int) -> list[list[RawFrame]]:
-        mag = _to_mag(chunk.reshape(-1), self.fmt).reshape(
-            self.n_chan, self.seg_valid
-        )
-        while True:
-            gc, new_overlap, level, power = _demod_and_gate_multi(
-                mag,
-                self._overlap_dev,
-                jnp.int32(valid_len),
-                jnp.int32(self.threshold),
-                self.mirror.tbl,
-                k=self.k,
-                scan_len=self.scan_len,
-                l=self.compact_l,
-                k2=self.gate_k2,
-                nfix=self.nfix,
-                fix_df=self.fix_df,
-                reset_every=self.block_samples,
-                seg_stride=self.seg_stride,
-                seg_valid=self.seg_valid,
-                keep_l=self.gate_keep_l,
+        raw_mode = self.fmt == "uc8" and pallas_kernels.supported()
+        if raw_mode:
+            # fused convert+dense path: per-channel raw words + raw overlap
+            words = jnp.asarray(
+                np.frombuffer(chunk.tobytes(), dtype="<u2").reshape(
+                    self.n_chan, self.seg_valid
+                )
             )
+            if getattr(self, "_overlap_words", None) is None:
+                self._overlap_words = np.zeros(
+                    (self.n_chan, TRAILING_SAMPLES), dtype="<u2"
+                )
+            ow = jnp.asarray(self._overlap_words)
+        else:
+            mag = _to_mag(chunk.reshape(-1), self.fmt).reshape(
+                self.n_chan, self.seg_valid
+            )
+        while True:
+            if raw_mode:
+                gc = _demod_and_gate_multi_raw(
+                    words, ow,
+                    jnp.int32(valid_len), jnp.int32(self.threshold),
+                    self.mirror.tbl,
+                    k=self.k, scan_len=self.scan_len, l=self.compact_l,
+                    k2=self.gate_k2, nfix=self.nfix, fix_df=self.fix_df,
+                    reset_every=self.block_samples,
+                    seg_stride=self.seg_stride, seg_valid=self.seg_valid,
+                    keep_l=self.gate_keep_l,
+                )
+                new_overlap = level = power = None
+            else:
+                gc, new_overlap, level, power = _demod_and_gate_multi(
+                    mag,
+                    self._overlap_dev,
+                    jnp.int32(valid_len),
+                    jnp.int32(self.threshold),
+                    self.mirror.tbl,
+                    k=self.k,
+                    scan_len=self.scan_len,
+                    l=self.compact_l,
+                    k2=self.gate_k2,
+                    nfix=self.nfix,
+                    fix_df=self.fix_df,
+                    reset_every=self.block_samples,
+                    seg_stride=self.seg_stride,
+                    seg_valid=self.seg_valid,
+                    keep_l=self.gate_keep_l,
+                )
             n, max_local, n_keep, kw = map(
                 int,
                 jax.device_get(
@@ -659,16 +805,22 @@ class MultiDemodulator:
             while self.gate_keep_l < kw:
                 self.gate_keep_l *= 2
 
-        (offs, cf, msgb, s112, s56, sl, ss, dcq, dcb, dcc, lv, pw) = jax.device_get(
+        (offs, cf, msgb, s112, s56, sl, ss, dcq, dcb, dcc) = jax.device_get(
             [
                 gc.offsets, gc.corr_fired, gc.msg, gc.syn112, gc.syn56,
                 gc.sig_long, gc.sig_short,
-                gc.drop_cum_q, gc.drop_cum_bnd, gc.drop_cum_chan, level, power,
+                gc.drop_cum_q, gc.drop_cum_bnd, gc.drop_cum_chan,
             ]
         )
-        self._overlap_dev = new_overlap
-        self.mean_level = np.asarray(lv)
-        self.mean_power = np.asarray(pw)
+        if raw_mode:
+            self._overlap_words = np.frombuffer(
+                chunk.tobytes(), dtype="<u2"
+            ).reshape(self.n_chan, self.seg_valid)[:, -TRAILING_SAMPLES:]
+        else:
+            self._overlap_dev = new_overlap
+            lv, pw = jax.device_get([level, power])
+            self.mean_level = np.asarray(lv)
+            self.mean_power = np.asarray(pw)
 
         from .ops.gate import skipped_drops
 

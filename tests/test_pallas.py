@@ -109,3 +109,33 @@ def test_extract_syndromes_kernel_bit_equality():
     np.testing.assert_array_equal(
         (comb[:n, 80:83] != 0) & valid[:, None], np.asarray(bc.corr_fired)[:n]
     )
+
+
+def test_fused_uc8_dense_scan_bit_equality():
+    """Fused convert+dense kernel == convert LUT then dense kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from readsb_tpu.ops import convert as convert_ops
+    from readsb_tpu.ops.pallas_kernels import (
+        DENSE_ROWS, LANES, dense_scan_pallas, dense_scan_uc8_pallas,
+    )
+
+    n = DENSE_ROWS * LANES * 2  # two tiles so the halo path runs
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 256, n * 2, dtype=np.int64).astype(np.uint8)
+    words = np.frombuffer(raw.tobytes(), dtype="<u2")
+    mag = convert_ops.mag_uc8(jnp.asarray(raw))
+
+    a = dense_scan_uc8_pallas(jnp.asarray(words), jnp.int32(58), interpret=True)
+    b = dense_scan_pallas(mag, jnp.int32(58), interpret=True)
+    # the synthetic final halo row differs (no uc8 word converts to mag 0),
+    # so the last <19 positions diverge — they are always masked by
+    # scan_len in real use (the stream carries a 326-sample tail)
+    np.testing.assert_array_equal(np.asarray(a[0])[: n - 19], np.asarray(b[0])[: n - 19], err_msg="corr")
+    np.testing.assert_array_equal(
+        np.asarray(a[1])[:, : n // 32 - 1], np.asarray(b[1])[:, : n // 32 - 1],
+        err_msg="pwords",
+    )
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]), err_msg="cs_hi")
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]), err_msg="cs_lo")
