@@ -332,10 +332,12 @@ class InputService:
 
 
 class InputConnection:
-    """Base class: override feed() to parse and dispatch."""
+    """Abstract per-connection parser: subclasses implement feed() to
+    deframe and dispatch (the NotImplementedError is the abstract-method
+    contract; every concrete protocol in app/main.py overrides it)."""
 
     async def feed(self, data: bytes) -> None:
-        raise NotImplementedError
+        raise NotImplementedError("subclasses implement feed()")
 
     def close(self) -> None:
         pass

@@ -13,8 +13,10 @@ updates follow the reference's acceptance rules:
 - CPR position pipeline: global odd/even pair decode when both halves are
   <10s apart, else local/relative decode against the last position;
   surface decode requires a reference position (track.c:1249-1385,746,843)
-- speed check: great-circle distance vs plausible speed * elapsed with
-  allowances per source (track.c:423-736, simplified: same bound family)
+- speed check: faithful port of the reference's plausibility model —
+  great-circle distance vs speed estimate with track-bonus geometry,
+  per-source allowances, unreliability counters and overrides
+  (track.c:423-736; see _speed_check)
 - odd/even position reliability counters with configurable threshold
   (track.c:3686-3758, track.h:636-658)
 - staleness sweep removing aircraft idle > 5 min (trackRemoveStale,
