@@ -219,6 +219,10 @@ class App:
         from ..pipeline import Demodulator
 
         args = self.args
+        paths = [p for p in str(args.ifile).split(",") if p]
+        if len(paths) > 1:
+            await self.run_ifile_multi(paths)
+            return
         demod = Demodulator(
             fmt=args.iformat,
             blocks_per_batch=args.blocks_per_batch,
@@ -255,6 +259,64 @@ class App:
             self._drain_modeac(demod)
         finally:
             if f is not sys.stdin.buffer:
+                f.close()
+
+    async def run_ifile_multi(self, paths: list[str]) -> None:
+        """Channel-batched replay: one IQ file per virtual receiver
+        channel, demodulated by the MultiDemodulator's single device
+        program (SURVEY 2.5 channel axis).  Frames carry the channel
+        index as receiverId, like distinct feeders of one aggregator."""
+        from ..pipeline import MultiDemodulator
+
+        args = self.args
+        multi = MultiDemodulator(
+            len(paths),
+            fmt=args.iformat,
+            blocks_per_batch=args.blocks_per_batch,
+            k_per_block=args.candidates_per_block,
+            threshold=args.preamble_threshold,
+            nfix=args.nfix_crc,
+            fix_df=args.fix_df,
+        )
+        self._demod = multi
+        files = [open(p, "rb") for p in paths]
+        bps = 2 if args.iformat == "uc8" else 4
+        chunk = multi.seg_valid * bps
+        loop = asyncio.get_event_loop()
+
+        def read_all():
+            return [f.read(chunk) for f in files]
+
+        def emit(per_chan):
+            for c, frames in enumerate(per_chan):
+                for fr in frames:
+                    mm = decode_frame(fr, epoch_ms=self.epoch_ms)
+                    mm.receiver_id = c + 1
+                    self.stats_collector.note_signal(fr.signal_power)
+                    self.handle_message(
+                        mm, raw_ts=fr.timestamp, signal=fr.signal_power
+                    )
+
+        try:
+            while True:
+                t0 = time.perf_counter()
+                datas = await loop.run_in_executor(None, read_all)
+                self.stats_collector.cpu["reader"] += (time.perf_counter() - t0) * 1e3
+                if not any(datas):
+                    break
+                if not all(datas):
+                    break  # lockstep streams; ragged tails flush below
+                t0 = time.perf_counter()
+                per_chan = await loop.run_in_executor(None, multi.feed, list(datas))
+                self.stats_collector.cpu["demod"] += (time.perf_counter() - t0) * 1e3
+                emit(per_chan)
+                if args.throttle:
+                    await asyncio.sleep(len(datas[0]) / bps / constants.SAMPLE_RATE)
+                else:
+                    await asyncio.sleep(0)
+            emit(multi.flush())
+        finally:
+            for f in files:
                 f.close()
 
     def _drain_modeac(self, demod) -> None:

@@ -881,6 +881,26 @@ class MultiDemodulator:
 
     # ------------------------------------------------------------------
 
+    @property
+    def stats(self):
+        """Aggregate demod stats across channels (per-channel via
+        channel_stats)."""
+        from .decode.score import DemodStats
+
+        d = DemodStats()
+        acc: list[int] = []
+        for c in range(self.n_chan):
+            sc = self.channel_stats(c)
+            d.preambles += sc.preambles
+            d.rejected_bad += sc.rejected_bad
+            d.rejected_unknown_icao += sc.rejected_unknown_icao
+            for i, v in enumerate(sc.accepted):
+                while len(acc) <= i:
+                    acc.append(0)
+                acc[i] += v
+        d.accepted = acc or [0, 0, 0]
+        return d
+
     def channel_stats(self, c: int):
         from .decode.score import DemodStats
 

@@ -66,3 +66,41 @@ def test_multichannel_parity(captures, use_native):
         )
         total += len(want)
     assert total > 10  # the capture actually decodes traffic
+
+
+def test_app_multichannel_ifile(tmp_path):
+    """--ifile a.dat,b.dat drives the channel-batched pipeline; the union
+    of decoded frames matches per-capture reference decodes."""
+    import subprocess
+    import sys
+
+    from tests.conftest import REFERENCE_BIN, REPO, run_reference_raw
+
+    caps = [
+        build_standard_capture(duration_s=0.4, n_aircraft=3, seed=s)
+        for s in (31, 32)
+    ]
+    paths = []
+    for i, cap in enumerate(caps):
+        p = str(tmp_path / f"ch{i}.uc8.dat")
+        with open(p, "wb") as f:
+            f.write(_uc8(cap))
+        paths.append(p)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "readsb_tpu.app.main", "--device-type", "ifile",
+         "--ifile", ",".join(paths), "--iformat", "uc8", "--quiet", "--raw"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    got = sorted(
+        l.strip().lstrip("*").rstrip(";")
+        for l in out.stdout.splitlines() if l.startswith("*")
+    )
+    assert got, out.stderr[-2000:]
+
+    if REFERENCE_BIN.exists():
+        want = sorted(
+            run_reference_raw(str(REFERENCE_BIN), paths[0], "uc8")
+            + run_reference_raw(str(REFERENCE_BIN), paths[1], "uc8")
+        )
+        assert got == want
