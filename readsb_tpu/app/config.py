@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive display retention seconds")
     p.add_argument("--metric", action="store_true",
                    help="interactive display in metric units")
+    p.add_argument("--write-profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first superblocks")
     p.add_argument("--debug", default="", metavar="FLAGS",
                    help="debug flag string (subset: C=CPR, n=net, S=speed)")
 

@@ -233,6 +233,13 @@ class App:
             modeac=args.modeac,
         )
         self._demod = demod
+        if args.write_profile:
+            # device-op level tracing (SURVEY §5: jax.profiler analog of
+            # the reference's per-subsystem CPU accounting)
+            import jax
+
+            jax.profiler.start_trace(args.write_profile)
+            self._profiling = True
         f = sys.stdin.buffer if args.ifile == "-" else open(args.ifile, "rb")
         bps = 2 if args.iformat == "uc8" else 4
         chunk = demod.super_samples * bps
@@ -258,6 +265,11 @@ class App:
                 self.handle_frame(fr)
             self._drain_modeac(demod)
         finally:
+            if getattr(self, "_profiling", False):
+                import jax
+
+                jax.profiler.stop_trace()
+                self._profiling = False
             if f is not sys.stdin.buffer:
                 f.close()
 
@@ -344,14 +356,26 @@ class App:
                     return
                 cmds, self.deframer.commands = self.deframer.commands, []
                 ps = self.ping_state
-                if ps is None:
-                    return
                 for c in cmds:
-                    if c[:1] == b"W" and c[1:2] == b"O":
+                    if ps is not None and c[:1] == b"W" and c[1:2] == b"O":
                         ps.enabled = True  # 'WO': high-res ping opt-in
                     elif c[:1] == b"P" and len(c) >= 4:
                         val = (c[1] << 16) | (c[2] << 8) | c[3]
-                        ps.pong(val, app.now_ms() if app._demod else int(time.time() * 1000))
+                        if ps is not None:
+                            # server role: the feeder echoed our ping
+                            ps.pong(
+                                val,
+                                app.now_ms() if app._demod else int(time.time() * 1000),
+                            )
+                        elif getattr(self, "writer", None) is not None:
+                            # client role: an upstream pinged us — echo it
+                            # back (pong(), net_io.c:1316-1320)
+                            from ..io.net import make_ping
+
+                            try:
+                                self.writer.write(make_ping(val))
+                            except Exception:
+                                pass
 
             async def feed(self, data: bytes) -> None:
                 for bf in self.deframer.feed(data):

@@ -375,6 +375,8 @@ class Connector:
                 if self.output is not None:
                     self.output.clients.add(writer)
                 conn = self.input_factory() if self.input_factory else None
+                if conn is not None:
+                    conn.writer = writer  # back-channel (pong replies etc.)
                 try:
                     while True:
                         data = await reader.read(65536)

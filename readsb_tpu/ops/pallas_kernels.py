@@ -100,7 +100,7 @@ def _uc8_kernel(sqtab_ref, words_ref, mag_ref):
 # + split hi/lo prefix sums of mag^2 — one pass over the sample stream.
 # ---------------------------------------------------------------------------
 
-DENSE_ROWS = 512  # (512, 128) = 65536 samples per grid step
+DENSE_ROWS = 512  # (512, 128) = 65536 samples per grid step; 1024 exceeds the 16 MB VMEM scope
 
 
 def _shifted_family(m_ext: jax.Array, rows: int, ks: tuple[int, ...]):

@@ -159,3 +159,36 @@ def test_get_state_trigger(app):
     assert not (gdir / "writeState").exists(), "trigger not consumed"
     blobs = [p for p in gdir.iterdir() if p.name.startswith("blob")]
     assert blobs, list(gdir.iterdir())
+
+
+def test_client_pong_reply(tmp_path):
+    """As an outbound feeder (net-connector beast_in), the app echoes an
+    upstream's 0x1a 'P' ping back as a pong (net_io.c:1316-1320)."""
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "readsb_tpu.app.main", "--net-only", "--quiet",
+         "--net", "--net-connector", f"127.0.0.1,{port},beast_in"],
+        cwd=str(REPO), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    try:
+        srv.settimeout(30)
+        conn, _ = srv.accept()
+        conn.settimeout(10)
+        conn.sendall(b"\x1aP\x01\x02\x03")
+        buf = b""
+        deadline = time.time() + 10
+        while time.time() < deadline and b"\x1aP\x01\x02\x03" not in buf:
+            try:
+                buf += conn.recv(4096)
+            except socket.timeout:
+                break
+        assert b"\x1aP\x01\x02\x03" in buf, buf
+        conn.close()
+    finally:
+        srv.close()
+        proc.terminate()
+        proc.wait()
