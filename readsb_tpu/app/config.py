@@ -27,8 +27,34 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Mode-S/ADS-B receiver, decoder, aggregator and server",
     )
     # --- source
-    p.add_argument("--device-type", choices=["ifile", "none"], default="none",
-                   help="sample source (ifile = IQ capture replay)")
+    p.add_argument("--device-type", choices=["ifile", "rtlsdr", "modesbeast", "none"],
+                   default="none",
+                   help="sample source (ifile=IQ replay, rtlsdr=USB dongle, "
+                        "modesbeast=Beast serial receiver)")
+    p.add_argument("--device", default="0",
+                   help="rtl-sdr device index or serial string")
+    p.add_argument("--gain", type=float, default=None,
+                   help="tuner gain in dB (default max; <=-10 enables AGC)")
+    p.add_argument("--freq", type=int, default=1_090_000_000,
+                   help="center frequency in Hz")
+    p.add_argument("--ppm", type=int, default=0, help="frequency correction ppm")
+    p.add_argument("--enable-biastee", action="store_true",
+                   help="enable bias tee on supporting rtl-sdr dongles")
+    p.add_argument("--beast-serial", default="/dev/ttyUSB0",
+                   help="Beast serial port path")
+    p.add_argument("--beast-baudrate", type=int, default=3_000_000)
+    p.add_argument("--beast-mlat-off", action="store_true",
+                   help="disable Beast mlat timestamps")
+    p.add_argument("--beast-crc-off", action="store_true",
+                   help="disable Beast CRC checks")
+    p.add_argument("--beast-fec-off", action="store_true",
+                   help="disable Beast FEC")
+    p.add_argument("--beast-df1117-on", action="store_true",
+                   help="enable Beast DF11/17-only filter")
+    p.add_argument("--beast-df045-on", action="store_true",
+                   help="enable Beast DF0/4/5 filter")
+    p.add_argument("--beast-modeac", action="store_true",
+                   help="enable Beast Mode A/C delivery")
     p.add_argument("--ifile", default=None, help="IQ capture path ('-' for stdin)")
     p.add_argument("--iformat", default="uc8", choices=["uc8", "UC8", "sc16", "SC16", "sc16q11", "SC16Q11"])
     p.add_argument("--throttle", action="store_true", help="replay at capture realtime")

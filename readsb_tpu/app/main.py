@@ -331,6 +331,91 @@ class App:
             for f in files:
                 f.close()
 
+    async def run_rtlsdr(self) -> None:
+        """Live rtl-sdr capture: reader thread fills UC8 buffers, the
+        asyncio loop batches them to superblock size and feeds the same
+        Demodulator as ifile replay (sdr_rtlsdr.c:233-419 behavior)."""
+        from ..io.sdr import RtlSdrSource
+        from ..pipeline import Demodulator
+
+        args = self.args
+        src = RtlSdrSource(
+            device=args.device, gain_db=args.gain, freq_hz=args.freq,
+            ppm=args.ppm, biastee=args.enable_biastee,
+        )
+        src.open()
+        demod = Demodulator(
+            fmt="uc8", blocks_per_batch=args.blocks_per_batch,
+            k_per_block=args.candidates_per_block,
+            threshold=args.preamble_threshold, nfix=args.nfix_crc,
+            fix_df=args.fix_df, modeac=args.modeac,
+        )
+        self._demod = demod
+        loop = asyncio.get_event_loop()
+        src.start(loop)
+        pending: list[bytes] = []
+        pending_len = 0
+        want = demod.super_samples * 2
+        try:
+            while True:
+                data = await src.queue.get()
+                if not data:
+                    log.error("rtl-sdr reader stopped (device lost?)")
+                    break
+                pending.append(data)
+                pending_len += len(data)
+                if pending_len < want:
+                    continue
+                buf = b"".join(pending)
+                pending, pending_len = [buf[want:]], len(buf) - want
+                t0 = time.perf_counter()
+                frames = await loop.run_in_executor(None, demod.feed, buf[:want])
+                self.stats_collector.cpu["demod"] += (time.perf_counter() - t0) * 1e3
+                for fr in frames:
+                    self.handle_frame(fr)
+                self._drain_modeac(demod)
+                if src.dropped_buffers:
+                    self.stats_collector.note_sdr_drops(src.dropped_buffers)
+                    src.dropped_buffers = 0
+        finally:
+            src.close()
+
+    async def run_beast_serial(self) -> None:
+        """Beast receiver on a raw serial tty; bytes go through the same
+        deframer/scorer path as network Beast input (sdr_beast.c)."""
+        from ..io.sdr import BeastSerialSource
+
+        args = self.args
+        src = BeastSerialSource(
+            path=args.beast_serial, baud=args.beast_baudrate,
+            mlat_timestamps=not args.beast_mlat_off,
+            crc_checks=not args.beast_crc_off,
+            fec=not args.beast_fec_off,
+            filter_df1117=args.beast_df1117_on,
+            filter_df045=args.beast_df045_on,
+            mode_ac=args.beast_modeac or args.modeac,
+        )
+        fd = src.open()
+        conn = self._beast_input_factory()()
+        loop = asyncio.get_event_loop()
+        ready = asyncio.Event()
+        loop.add_reader(fd, ready.set)
+        try:
+            while not self._exit_event.is_set():
+                await ready.wait()
+                ready.clear()
+                try:
+                    data = os.read(fd, 65536)
+                except BlockingIOError:
+                    continue
+                if not data:
+                    await asyncio.sleep(0.05)
+                    continue
+                await conn.feed(data)
+        finally:
+            loop.remove_reader(fd)
+            src.close()
+
     def _drain_modeac(self, demod) -> None:
         """Forward Mode A/C pseudo-messages into the tracker/outputs."""
         if not demod.modeac_msgs:
@@ -1138,6 +1223,10 @@ class App:
                 await self.run_ifile()
                 if self.args.net or self.args.net_only:
                     await asyncio.sleep(0.2)  # let outputs flush
+            elif self.args.device_type == "rtlsdr":
+                await self.run_rtlsdr()
+            elif self.args.device_type == "modesbeast":
+                await self.run_beast_serial()
             elif self.args.net or self.args.net_only:
                 await self._exit_event.wait()
             else:

@@ -159,6 +159,9 @@ class StatsCollector:
         # live signal accounting, fed per accepted local frame
         self._sig = [0.0, 0, 0.0, 0]  # sum, n, peak, strong
         self.remote_ping_rtt = [0] * self.PING_BUCKETS
+        # SDR buffers shed because the demod fell behind realtime
+        # (reference samples_dropped, sdr_rtlsdr.c:300-320)
+        self.samples_dropped_buffers = 0
 
     # RTT histogram buckets (PING_BUCKETS, readsb.h:332-334)
     PING_BUCKETS = 20
@@ -176,6 +179,9 @@ class StatsCollector:
                 bucket = i
                 break
         self.remote_ping_rtt[bucket] += 1
+
+    def note_sdr_drops(self, n_buffers: int) -> None:
+        self.samples_dropped_buffers += n_buffers
 
     def note_signal(self, power: float) -> None:
         s = self._sig

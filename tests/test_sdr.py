@@ -1,0 +1,65 @@
+"""SDR host-producer tests: Beast serial configuration over a pty and
+rtl-sdr plumbing that doesn't need hardware (gain snapping, buffer
+shedding, graceful absence of librtlsdr)."""
+
+import asyncio
+import os
+
+from readsb_tpu.io.sdr import RTL_GAINS, BeastSerialSource, RtlSdrSource
+
+
+def test_beast_serial_options_over_pty():
+    controller, follower = os.openpty()
+    src = BeastSerialSource(
+        path=os.ttyname(follower),
+        mlat_timestamps=True, crc_checks=False,
+        filter_df1117=True, mode_ac=True,
+    )
+    try:
+        src.open()
+        data = os.read(controller, 4096)
+    finally:
+        src.close()
+        os.close(controller)
+        os.close(follower)
+    # 0x1a '1' <opt> triplets, in the reference's beastInit order
+    opts = [chr(data[i + 2]) for i in range(0, len(data), 3)]
+    assert all(data[i] == 0x1A and data[i + 1] == ord("1") for i in range(0, len(data), 3))
+    assert opts == ["B", "C", "H", "D", "E", "F", "g", "i", "J"]
+
+
+def test_beast_serial_option_defaults():
+    src = BeastSerialSource()
+    assert src._options() == "BCHdEfgiJ".replace("J", "j")
+
+
+def test_rtl_gain_snap():
+    # explicit gains snap to the nearest tuner step (tenths of dB)
+    want = 43.5
+    step = min(RTL_GAINS, key=lambda g: abs(g - want * 10))
+    assert step == 434
+    # unset gain => max step
+    assert min(RTL_GAINS, key=lambda g: abs(g - 999 * 10)) == RTL_GAINS[-1]
+
+
+def test_rtlsdr_queue_sheds_oldest():
+    async def go():
+        src = RtlSdrSource()
+        for i in range(20):
+            src._push(bytes([i]))
+        assert src.dropped_buffers == 20 - src.queue.maxsize
+        first = await src.queue.get()
+        assert first == bytes([src.dropped_buffers])  # oldest were shed
+
+    asyncio.run(go())
+
+
+def test_rtlsdr_unavailable_is_clean():
+    if RtlSdrSource.available():
+        return  # host actually has librtlsdr; open() path exercised on hw
+    try:
+        RtlSdrSource().open()
+    except RuntimeError as e:
+        assert "librtlsdr" in str(e)
+    else:
+        raise AssertionError("open() must raise without librtlsdr")
