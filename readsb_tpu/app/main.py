@@ -831,7 +831,14 @@ class App:
 
                 if time.time() - last_traces >= args.write_traces_every:
                     last_traces = time.time()
-                    history_io.write_traces(self.tracker, args.write_json, now)
+                    t0 = time.perf_counter()
+                    _, self._trace_cursor = history_io.write_traces(
+                        self.tracker, args.write_json, now,
+                        cursor=getattr(self, "_trace_cursor", 0),
+                    )
+                    self.stats_collector.cpu["background"] += (
+                        time.perf_counter() - t0
+                    ) * 1e3
                 history_io.write_globe_bincraft(self.tracker, args.write_json, now)
             if args.heatmap and (args.globe_history_dir or args.heatmap_dir):
                 from ..io import history as history_io
@@ -1238,6 +1245,13 @@ class App:
             self._exiting = True
             periodic.cancel()
             self.drain_net_queue()
+            if self.args.json_globe_index and self.args.write_json:
+                # flush dirty traces so short runs / clean exits leave
+                # complete trace files (the reference's exit sweep)
+                from ..io import history as history_io
+
+                history_io.write_traces(self.tracker, self.args.write_json,
+                                        self.now_ms(), time_budget_s=None)
             if self.args.write_state:
                 from ..io import state as state_io
 

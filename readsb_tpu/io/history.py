@@ -50,14 +50,21 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 def write_traces(tracker: Tracker, outdir: str, now: int,
                  full_interval_ms: int = 60 * SECONDS,
-                 time_budget_s: float | None = 0.05) -> int:
+                 time_budget_s: float | None = 0.05,
+                 cursor: int = 0) -> tuple[int, int]:
     """traceWrite sweep: write trace_recent (always when dirty) and
     trace_full (mark_legs applied) per aircraft with history.
 
-    time_budget_s bounds one sweep's wall time (the reference's
-    time-sliced tracePool writer, readsb.c:975-1114): aircraft left dirty
-    are picked up by the next periodic tick, so a 10k-aircraft store
-    never stalls the loop.
+    time_budget_s bounds one sweep's wall time and `cursor` (last addr
+    handled, returned for the next call) rotates the start point — the
+    reference's time-sliced tracePool writer splits the aircraft buckets
+    into parts and walks one part per periodic tick so every aircraft is
+    revisited within a bounded cycle (readsb.c:975-1114,1015-1021);
+    the rotating cursor gives the same full-rotation fairness: aircraft
+    left dirty are picked up by subsequent ticks, so a 10k-aircraft
+    store never stalls the loop and the tail never starves.
+
+    Returns (written, new_cursor).
     """
     import time as _time
 
@@ -65,12 +72,20 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
     written = 0
     tdir = os.path.join(outdir, "traces")
     os.makedirs(tdir, exist_ok=True)
-    for a in tracker.aircraft.values():
+    addrs = sorted(tracker.aircraft.keys())
+    order = [x for x in addrs if x > cursor] + [x for x in addrs if x <= cursor]
+    new_cursor = cursor
+    for addr in order:
+        a = tracker.aircraft.get(addr)
+        if a is None:
+            continue
         tr = getattr(a, "trace", None)
         if tr is None or len(tr) == 0 or not tr.dirty:
+            new_cursor = addr
             continue
         if deadline is not None and _time.monotonic() > deadline and written:
-            break  # stay dirty; resume next tick
+            break  # stay dirty; resume here next tick
+        new_cursor = addr
         tr.dirty = False
         hexid = f"{a.addr & 0xFFFFFF:06x}"
         shard = os.path.join(tdir, hexid[-2:])
@@ -91,7 +106,7 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
             gzip.compress(json.dumps(doc_full, separators=(",", ":")).encode(), 5),
         )
         written += 1
-    return written
+    return written, new_cursor
 
 
 # ---------------------------------------------------------------------------

@@ -216,3 +216,42 @@ def test_tracker_trace_integration():
     assert a.seen_pos
     assert a.trace is not None and len(a.trace) >= 1
     assert a.globe_index == globe.globe_index(a.lat, a.lon)
+
+
+def test_write_traces_budget_rotates_cursor(tmp_path):
+    """A tick that exhausts its time budget resumes from the cursor on
+    the next tick, so the tail of the aircraft table never starves
+    (reference's part-rotating tracePool sweep, readsb.c:975-1114)."""
+    from readsb_tpu.io.history import write_traces
+
+    tr = Tracker(keep_traces=True, json_trace_interval=8000)
+    now = 1_700_000_000_000
+    addrs = [0x100000 + i for i in range(6)]
+    for addr in addrs:
+        a = tr.get_or_create(addr, now)
+        a.trace = Trace()
+        a.lat, a.lon = 40.0 + (addr & 0xF) * 0.1, 9.0
+        a.gs, a.baro_alt = 300.0, 20000
+        for i in range(3):
+            t = now + i * 10_000
+            a.lat += 0.01
+            _fresh(a, t, ["gs", "baro_alt", "position"])
+            a.trace.add(a, t, json_trace_interval=8000)
+        assert a.trace.dirty
+
+    # zero budget: exactly one aircraft per tick, rotation covers all
+    seen = []
+    cursor = 0
+    for _ in range(len(addrs)):
+        before = {x for x in addrs if tr.aircraft[x].trace.dirty}
+        n, cursor = write_traces(tr, str(tmp_path), now,
+                                 time_budget_s=1e-12, cursor=cursor)
+        assert n == 1
+        after = {x for x in addrs if tr.aircraft[x].trace.dirty}
+        seen.extend(sorted(before - after))
+    assert seen == addrs  # full rotation in order, no starvation
+    assert not any(a.trace.dirty for a in tr.aircraft.values())
+
+    # everything clean: nothing written, cursor keeps rotating
+    n, cursor = write_traces(tr, str(tmp_path), now, cursor=cursor)
+    assert n == 0
