@@ -118,14 +118,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay received UAT raw lines to clients")
     p.add_argument("--net-vrs-port", type=_ports, default=[], help="VRS-format json output port")
     p.add_argument("--net-vrs-interval", type=float, default=5.0)
-    p.add_argument("--net-ai-port", type=_ports, default=[],
+    p.add_argument("--net-ai-port", "--net-asterix-in-port", dest="net_ai_port",
+                   type=_ports, default=[],
                    help="ASTERIX CAT021 input listen port")
-    p.add_argument("--net-ao-port", type=_ports, default=[],
+    p.add_argument("--net-ao-port", "--net-asterix-out-port", dest="net_ao_port",
+                   type=_ports, default=[],
                    help="ASTERIX CAT021 output listen port")
+    p.add_argument("--net-sbs-jaero-port", type=_ports, default=[],
+                   help="SBS output for JAERO-sourced traffic")
+    p.add_argument("--net-sbs-jaero-in-port", type=_ports, default=[],
+                   help="SBS input ingested as JAERO source")
     p.add_argument("--net-beast-reduce-out-port", type=_ports, default=[],
                    help="rate-limited/deduplicated beast output (reduce_forward)")
     p.add_argument("--net-beast-reduce-interval", type=float, default=0.125,
                    help="per-aircraft reduce forwarding interval (s)")
+    p.add_argument("--net-beast-reduce-filter-dist", type=float, default=None,
+                   metavar="NMI",
+                   help="beast-reduce: drop aircraft further than this from the receiver")
+    p.add_argument("--net-beast-reduce-filter-alt", type=float, default=None,
+                   metavar="FT",
+                   help="beast-reduce: drop aircraft above this pressure altitude")
+    p.add_argument("--net-beast-reduce-optimize-for-mlat", action="store_true",
+                   help="beast-reduce: keep all messages relevant to mlat-client")
     p.add_argument("--dump-beast-dir", default=None,
                    help="record the incoming beast message stream (zstd chunks)")
     p.add_argument("--dump-beast-interval", type=float, default=30.0,
@@ -160,6 +174,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint directory (state save/load)")
     p.add_argument("--write-state-every", type=float, default=60.0)
     p.add_argument("--quiet", action="store_true", default=True)
+    p.add_argument("--onlyaddr", action="store_true",
+                   help="stdout display shows only ICAO addresses (mode_s.c:1829)")
+    p.add_argument("--auto-exit", type=float, default=0.0, metavar="SEC",
+                   help="exit after this many seconds of operation")
+    p.add_argument("--net-connector-delay", type=float, default=30.0,
+                   help="max delay between outbound reconnect attempts (s)")
+    p.add_argument("--write-json-gzip", action="store_true",
+                   help="also write aircraft.json.gz alongside aircraft.json")
+    p.add_argument("--write-state-only-on-exit", action="store_true",
+                   help="skip periodic state checkpoints; write state only at shutdown")
+    p.add_argument("--no-interactive", action="store_true",
+                   help="disable the interactive display")
+    p.add_argument("--stats-range", action="store_true",
+                   help="collect polar range statistics into stats.json")
+    p.add_argument("--modeac-auto", action="store_true",
+                   help="enable Mode A/C only when a connected client requests it")
+    p.add_argument("--gnss", action="store_true",
+                   help="prefer GNSS (HAE) altitudes on text outputs when available")
+    p.add_argument("--enable-agc", action="store_true",
+                   help="rtl-sdr: enable tuner AGC (same as --gain -10)")
+    p.add_argument("--sdr-buffer-size", type=int, default=16 * 16384,
+                   help="SDR read buffer size in bytes")
     p.add_argument("--raw", dest="show_raw", action="store_true",
                    help="print frame hex to stdout")
     p.add_argument("--stats", action="store_true", help="print stats at exit")

@@ -97,6 +97,11 @@ class App:
         self.out_asterix = self.net.add_output("asterix_out")
         self.out_beast_reduce = self.net.add_output("beast_reduce_out")
         self.tracker.reduce_interval_ms = int(args.net_beast_reduce_interval * 1000)
+        if args.net_beast_reduce_filter_dist is not None:
+            self.tracker.reduce_filter_dist_m = args.net_beast_reduce_filter_dist * 1852.0
+        if args.net_beast_reduce_filter_alt is not None:
+            self.tracker.reduce_filter_alt_ft = args.net_beast_reduce_filter_alt
+        self.tracker.reduce_optimize_mlat = args.net_beast_reduce_optimize_for_mlat
         self.beast_dump = None
         if args.dump_beast_dir:
             from ..io.beastdump import BeastDumper
@@ -151,7 +156,10 @@ class App:
                     mm.addr, bytes(ra), a, mm, mm.sys_timestamp_ms
                 )
         if self.args.show_raw:
-            print("*%s;" % mm.msg.hex(), flush=False)
+            if self.args.onlyaddr:  # mode_s.c:1829: address-only display
+                print("%06x" % (mm.addr & 0xFFFFFF), flush=False)
+            else:
+                print("*%s;" % mm.msg.hex(), flush=False)
         if self._df_filter is not None and mm.msgtype not in self._df_filter:
             return
         is_mlat_src = mm.source == Source.MLAT
@@ -176,7 +184,10 @@ class App:
         if self.out_sbs_replay.clients and getattr(mm, "sbs_in", False):
             sbs_lanes.append(self.out_sbs_replay)
         if sbs_lanes:
-            line = sbs_io.encode_line(mm, now_ms=mm.sys_timestamp_ms)
+            line = sbs_io.encode_line(
+                mm, geom_delta=(a.geom_delta if a is not None else None),
+                now_ms=mm.sys_timestamp_ms, use_gnss=self.args.gnss,
+            )
             if line:
                 for lane in sbs_lanes:
                     lane.send(line)
@@ -340,8 +351,10 @@ class App:
 
         args = self.args
         src = RtlSdrSource(
-            device=args.device, gain_db=args.gain, freq_hz=args.freq,
-            ppm=args.ppm, biastee=args.enable_biastee,
+            device=args.device,
+            gain_db=-10.0 if args.enable_agc else args.gain,
+            freq_hz=args.freq, ppm=args.ppm, biastee=args.enable_biastee,
+            buf_bytes=args.sdr_buffer_size,
         )
         src.open()
         demod = Demodulator(
@@ -357,7 +370,7 @@ class App:
         pending_len = 0
         want = demod.super_samples * 2
         try:
-            while True:
+            while not self._exit_event.is_set():
                 data = await src.queue.get()
                 if not data:
                     log.error("rtl-sdr reader stopped (device lost?)")
@@ -776,7 +789,7 @@ class App:
         last_vrs = 0.0
         last_db_check = time.time()
         display = None
-        if args.interactive:
+        if args.interactive and not args.no_interactive:
             from .interactive import InteractiveDisplay
 
             display = InteractiveDisplay(
@@ -803,13 +816,36 @@ class App:
 
                 self.out_vrs.send(vrs_io.generate_vrs(self.tracker, now))
             self.tracker.remove_stale(now)
-            if args.modeac:
+            if args.modeac_auto and not args.modeac:
+                # autoset_modeac (net_io.c:3577): demod A/C only while some
+                # beast client has requested it with the '1J' command
+                want = any(
+                    o.get("modeac") for o in self.out_beast.client_opts.values()
+                )
+                if self._demod is not None and getattr(self._demod, "modeac", want) != want:
+                    self._demod.modeac = want
+            if args.modeac or (
+                args.modeac_auto
+                and self._demod is not None
+                and getattr(self._demod, "modeac", False)
+            ):
                 self.tracker.match_ac(now)
             if args.write_json and time.time() - last_json >= args.write_json_every:
                 last_json = time.time()
                 os.makedirs(args.write_json, exist_ok=True)
                 doc = json_out.generate_aircraft_json(self.tracker, now, self.messages)
                 json_out.write_json_atomic(doc, os.path.join(args.write_json, "aircraft.json"))
+                if args.write_json_gzip:
+                    import gzip as _gzip
+                    import json as _json
+
+                    blob = _gzip.compress(
+                        _json.dumps(doc, separators=(",", ":")).encode(), 5
+                    )
+                    tmp = os.path.join(args.write_json, ".aircraft.json.gz.tmp")
+                    with open(tmp, "wb") as _f:
+                        _f.write(blob)
+                    os.replace(tmp, os.path.join(args.write_json, "aircraft.json.gz"))
                 rj = json_out.generate_receiver_json(
                     int(args.write_json_every * 1000), args.lat, args.lon
                 )
@@ -873,7 +909,8 @@ class App:
             self.stats_collector.cpu["background"] += (
                 time.perf_counter() - _bg_t0
             ) * 1e3
-            if args.write_state and time.time() - last_state >= args.write_state_every:
+            if (args.write_state and not args.write_state_only_on_exit
+                    and time.time() - last_state >= args.write_state_every):
                 last_state = time.time()
                 from ..io import state as state_io
 
@@ -1066,6 +1103,15 @@ class App:
                     InputService("sbs_in_jaero", self._sbs_input_factory(Source.JAERO)),
                     args.net_sbs_in_port[0] + 4,
                 )
+        if args.net_sbs_jaero_port:
+            for _p in args.net_sbs_jaero_port:
+                await self.net.listen_output(self.out_sbs_jaero, _p)
+        if args.net_sbs_jaero_in_port:
+            for _p in args.net_sbs_jaero_in_port:
+                await self.net.listen_input(
+                    InputService("sbs_in_jaero", self._sbs_input_factory(Source.JAERO)),
+                    _p,
+                )
         if args.net_ai_port:
             await self.net.listen_input(
                 InputService("asterix_in", self._asterix_input_factory()),
@@ -1085,6 +1131,10 @@ class App:
 
             self.api_server = ApiServer(self)
             await self.api_server.listen(args.net_api_port)
+        # shadow locally so a non-default delay applies to every connector
+        Connector = _ft.partial(  # noqa: F841 (shadows the module import)
+            globals()["Connector"], reconnect_delay=args.net_connector_delay
+        )
         for spec in args.net_connector:
             parts = spec.split(",")
             host, port, proto = parts[0], int(parts[1]), parts[2]
@@ -1224,6 +1274,10 @@ class App:
         await self.setup_net()
         self._install_signals()
         self._start_watchdog()
+        if self.args.auto_exit > 0:
+            asyncio.get_event_loop().call_later(
+                self.args.auto_exit, self._exit_event.set
+            )
         periodic = asyncio.ensure_future(self.run_periodic())
         try:
             if self.args.device_type == "ifile":

@@ -45,8 +45,13 @@ def _fmt_time(ms: int) -> str:
     )
 
 
-def encode_line(mm: ModesMessage, geom_delta: Optional[int] = None, now_ms: Optional[int] = None) -> Optional[bytes]:
-    """One SBS output line for a decoded message, or None if not mapped."""
+def encode_line(mm: ModesMessage, geom_delta: Optional[int] = None,
+                now_ms: Optional[int] = None,
+                use_gnss: bool = False) -> Optional[bytes]:
+    """One SBS output line for a decoded message, or None if not mapped.
+
+    use_gnss (--gnss): altitude/vertical-rate fields prefer GNSS (HAE)
+    values, suffixed 'H' (net_io.c:3275-3330)."""
     if mm.addr & (1 << 24):
         return None  # suppress non-ICAO
     msg_type = _sbs_msg_type(mm)
@@ -58,7 +63,16 @@ def encode_line(mm: ModesMessage, geom_delta: Optional[int] = None, now_ms: Opti
     f.append(_fmt_time(mm.sys_timestamp_ms))
     f.append(_fmt_time(now_ms))
     f.append(mm.callsign if (mm.callsign and mm.callsign_valid) else "")
-    if mm.baro_alt is not None:
+    if use_gnss:
+        if mm.geom_alt is not None:
+            f.append("%dH" % mm.geom_alt)
+        elif mm.baro_alt is not None and geom_delta is not None:
+            f.append("%dH" % (mm.baro_alt + geom_delta))
+        elif mm.baro_alt is not None:
+            f.append(str(mm.baro_alt))
+        else:
+            f.append("")
+    elif mm.baro_alt is not None:
         f.append(str(mm.baro_alt))
     elif mm.geom_alt is not None and geom_delta is not None:
         f.append(str(mm.geom_alt - geom_delta))
@@ -75,7 +89,14 @@ def encode_line(mm: ModesMessage, geom_delta: Optional[int] = None, now_ms: Opti
     else:
         f.append("")
         f.append("")
-    if mm.baro_rate is not None:
+    if use_gnss:
+        if mm.geom_rate is not None:
+            f.append("%dH" % mm.geom_rate)
+        elif mm.baro_rate is not None:
+            f.append(str(mm.baro_rate))
+        else:
+            f.append("")
+    elif mm.baro_rate is not None:
         f.append(str(mm.baro_rate))
     elif mm.geom_rate is not None:
         f.append(str(mm.geom_rate))

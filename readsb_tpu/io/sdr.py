@@ -59,6 +59,7 @@ class RtlSdrSource:
     ppm: int = 0
     biastee: bool = False
     sample_rate: int = 2_400_000
+    buf_bytes: int = SDR_BUF_BYTES
     queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
 
     _lib = None
@@ -122,10 +123,10 @@ class RtlSdrSource:
         lib, dev = self._lib, self._dev
 
         def reader():
-            buf = ctypes.create_string_buffer(SDR_BUF_BYTES)
+            buf = ctypes.create_string_buffer(self.buf_bytes)
             n_read = ctypes.c_int(0)
             while not self._stop.is_set():
-                r = lib.rtlsdr_read_sync(dev, buf, SDR_BUF_BYTES, ctypes.byref(n_read))
+                r = lib.rtlsdr_read_sync(dev, buf, self.buf_bytes, ctypes.byref(n_read))
                 if r < 0:
                     break  # USB gone — app-level watchdog restarts or exits
                 data = buf.raw[: n_read.value]

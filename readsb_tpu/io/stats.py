@@ -280,13 +280,22 @@ class StatsCollector:
         tot = StatsPeriod()
         tot.add(self.total)
         tot.add(self.current)
-        return {
+        doc = {
             "latest": self.current.to_json(local, remote),
             "last1min": window(1).to_json(local, remote),
             "last5min": window(5).to_json(local, remote),
             "last15min": window(15).to_json(local, remote),
             "total": tot.to_json(local, remote),
         }
+        if getattr(app.args, "stats_range", False):
+            # --stats-range: per-bearing max range in meters over the
+            # outline's 24h ring (reference polar_range, stats.c:733-790)
+            outline = getattr(app.tracker, "outline", None)
+            if outline is not None:
+                doc["polar_range"] = [
+                    int(v) for v in outline.distance.max(axis=0).tolist()
+                ]
+        return doc
 
 
 def collect(app, now_ms: int) -> dict:

@@ -372,6 +372,10 @@ class Tracker:
         self.keep_traces = keep_traces
         self.json_trace_interval = json_trace_interval
         self.reduce_interval_ms = 125  # --net-beast-reduce-interval
+        # beast_reduce output shaping knobs (readsb.c:137-138,1741-1751)
+        self.reduce_filter_dist_m = -1.0  # --net-beast-reduce-filter-dist
+        self.reduce_filter_alt_ft = -1.0  # --net-beast-reduce-filter-alt
+        self.reduce_optimize_mlat = False  # --net-beast-reduce-optimize-for-mlat
         from .receiver import ReceiverStore
 
         self.aircraft: dict[int, Aircraft] = {}
@@ -651,6 +655,30 @@ class Tracker:
             # pre-decoded position (SBS/ASTERIX/MLAT inputs)
             if self._speed_check(a, mm, mm.decoded_lat, mm.decoded_lon, now):
                 self._set_position(a, mm, mm.decoded_lat, mm.decoded_lon, now, False)
+
+        # --- beast_reduce output shaping (track.c:2335-2339,2647-2666) ----
+        if self.reduce_optimize_mlat and (
+            mm.cpr_valid or a.position_valid.source < Source.ADSR
+        ):
+            mm.reduce_forward = True  # keep everything an mlat-client needs
+        if mm.reduce_forward:
+            if (
+                self.reduce_filter_dist_m > 0
+                and self.receiver_lat is not None
+                and a.lat is not None
+                and now < a.seen_pos + 60_000
+                and greatcircle(self.receiver_lat, self.receiver_lon, a.lat, a.lon)
+                > self.reduce_filter_dist_m
+            ):
+                mm.reduce_forward = False
+            if (
+                self.reduce_filter_alt_ft > 0
+                and a.baro_alt is not None
+                and a.baro_alt_valid.valid(now)
+                and a.airground != AirGround.GROUND
+                and a.baro_alt > self.reduce_filter_alt_ft
+            ):
+                mm.reduce_forward = False
 
         return a
 

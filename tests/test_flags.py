@@ -1,0 +1,102 @@
+"""Behavior of the round-3 CLI additions: beast-reduce output shaping,
+--gnss SBS altitudes, --stats-range polar ranges, --onlyaddr display."""
+
+import types
+
+from readsb_tpu.decode.fields import decode_frame
+from readsb_tpu.pipeline import demodulate_file
+from readsb_tpu.track.tracker import Tracker
+
+
+def _replay(capture, **tracker_kw):
+    frames, _ = demodulate_file(capture + ".uc8.dat", fmt="uc8")
+    tracker = Tracker(**tracker_kw)
+    forwards = 0
+    for f in frames:
+        mm = decode_frame(f)
+        tracker.update(mm)
+        forwards += bool(mm.reduce_forward)
+    return tracker, forwards, len(frames)
+
+
+def test_reduce_filter_alt(capture_small):
+    _, base, n = _replay(capture_small)
+    assert 0 < base < n
+    tracker2 = Tracker()
+    tracker2.reduce_filter_alt_ft = 5000.0  # synthetic fleet flies at 10000+
+    frames, _ = demodulate_file(capture_small + ".uc8.dat", fmt="uc8")
+    filtered = 0
+    for f in frames:
+        mm = decode_frame(f)
+        tracker2.update(mm)
+        filtered += bool(mm.reduce_forward)
+    assert filtered < base
+
+
+def test_reduce_optimize_mlat(capture_small):
+    frames, _ = demodulate_file(capture_small + ".uc8.dat", fmt="uc8")
+    tracker = Tracker()
+    tracker.reduce_optimize_mlat = True
+    for f in frames:
+        mm = decode_frame(f)
+        tracker.update(mm)
+        if mm.cpr_valid:
+            # track.c:2335-2339: mlat clients need every CPR
+            assert mm.reduce_forward
+
+
+def test_gnss_sbs_altitude(capture_small):
+    from readsb_tpu.io import sbs as sbs_io
+
+    frames, _ = demodulate_file(capture_small + ".uc8.dat", fmt="uc8")
+    tracker = Tracker()
+    plain_alt = gnss_alt = None
+    for f in frames:
+        mm = decode_frame(f)
+        tracker.update(mm)
+        if mm.baro_alt is None:
+            continue
+        plain = sbs_io.encode_line(mm, now_ms=mm.sys_timestamp_ms)
+        gnss = sbs_io.encode_line(mm, geom_delta=100,
+                                  now_ms=mm.sys_timestamp_ms, use_gnss=True)
+        if plain and gnss:
+            plain_alt = plain.split(b",")[11]
+            gnss_alt = gnss.split(b",")[11]
+            break
+    assert plain_alt is not None
+    assert not plain_alt.endswith(b"H")
+    # with --gnss, baro + geom_delta is emitted as an HAE altitude
+    assert gnss_alt == b"%dH" % (int(plain_alt) + 100)
+
+
+def test_stats_range_polar(capture_small):
+    from readsb_tpu.io.stats import StatsCollector
+
+    tracker, _, _ = _replay(capture_small, receiver_lat=47.0, receiver_lon=8.0)
+    sc = StatsCollector()
+    app = types.SimpleNamespace(
+        _demod=None, args=types.SimpleNamespace(net=False, net_only=True,
+                                                stats_range=True),
+        tracker=tracker,
+    )
+    doc = sc.stats_json(app, 0.0)
+    assert "polar_range" in doc
+    assert len(doc["polar_range"]) == tracker.outline.distance.shape[1]
+    assert max(doc["polar_range"]) > 0  # fleet positions registered range
+
+
+def test_onlyaddr_cli(tmp_path, capture_small):
+    import subprocess
+    import sys
+
+    from tests.conftest import REPO
+
+    out = subprocess.run(
+        [sys.executable, "-m", "readsb_tpu.app.main", "--device-type", "ifile",
+         "--ifile", capture_small + ".uc8.dat", "--iformat", "uc8",
+         "--quiet", "--raw", "--onlyaddr"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+    lines = [l.strip() for l in out.stdout.splitlines() if l.strip()]
+    assert lines, out.stderr[-2000:]
+    assert all(len(l) == 6 and int(l, 16) >= 0 for l in lines)
