@@ -153,8 +153,35 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shed feeders whose ping RTT EMA exceeds this (ms)")
     p.add_argument("--uuid-file", default=None,
                    help="receiver UUID sent on beast_reduce_plus connections")
-    p.add_argument("--net-ro-interval", type=float, default=0.05)
-    p.add_argument("--net-ro-size", type=int, default=1200)
+    p.add_argument("--net-ro-interval", type=float, default=0.05,
+                   help="TCP output flush interval (s) for raw/beast outputs")
+    p.add_argument("--net-ro-size", type=int, default=1200,
+                   help="TCP output flush size (bytes)")
+    p.add_argument("--net-ro-interval-beast-reduce", type=float, default=None,
+                   help="flush interval override for beast-reduce outputs (s)")
+    p.add_argument("--net-sbs-reduce", action="store_true",
+                   help="apply beast-reduce gating and interval to SBS outputs")
+    p.add_argument("--net-asterix-reduce", action="store_true",
+                   help="apply beast-reduce gating and interval to ASTERIX outputs")
+    p.add_argument("--net-json-port-interval", type=float, default=0.0,
+                   help="minimum per-aircraft interval for TCP json output (s)")
+    p.add_argument("--net-json-port-include-noposition", action="store_true",
+                   help="TCP json output: also emit aircraft without position")
+    p.add_argument("--api-shutdown-delay", type=float, default=0.0,
+                   help="serve remaining API queries this long at shutdown (s)")
+    p.add_argument("--position-persistence", type=int, default=4,
+                   help="position reliability cap against outliers "
+                       "(incremented by json-reliable minus 1)")
+    p.add_argument("--jaero-timeout", type=float, default=33.0, metavar="MIN",
+                   help="minutes JAERO aircraft stay valid without updates")
+    p.add_argument("--range-outline-hours", type=float, default=24.0,
+                   help="range outline data retention (hours)")
+    p.add_argument("--mlat", dest="mlat_display", action="store_true",
+                   help="stdout display in Beast ASCII @ts...; form")
+    p.add_argument("--write-receiver-id-json", action="store_true",
+                   help="write receivers.json snapshots")
+    p.add_argument("--tar1090-use-api", action="store_true",
+                   help="advertise the query API to tar1090 via receiver.json")
 
     # --- output
     p.add_argument("--write-json", default=None, metavar="DIR")
@@ -167,7 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heatmap", type=float, default=0.0, metavar="SECONDS",
                    help="enable heatmap sampling at this interval")
     p.add_argument("--heatmap-dir", default=None)
-    p.add_argument("--globe-history-dir", dest="globe_history_dir", default=None)
+    p.add_argument("--globe-history-dir", "--write-globe-history",
+                   dest="globe_history_dir", default=None)
     p.add_argument("--json-location-accuracy", type=int, default=1)
     p.add_argument("--write-prom", default=None, metavar="PATH")
     p.add_argument("--write-state", default=None, metavar="DIR",

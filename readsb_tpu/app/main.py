@@ -74,13 +74,15 @@ class App:
         self.stats_collector = StatsCollector()
         hb = args.net_heartbeat
         # heartbeat payloads per wire format (net_io.c:109-126)
+        ro_kw = dict(flush_bytes=args.net_ro_size, flush_interval=args.net_ro_interval)
         self.out_raw = self.net.add_output(
-            "raw_out", heartbeat=b"*0000;\n", heartbeat_interval=hb
+            "raw_out", heartbeat=b"*0000;\n", heartbeat_interval=hb, **ro_kw
         )
         self.out_beast = self.net.add_output(
             "beast_out",
             heartbeat=b"\x1a1" + b"\x00" * 9,
             heartbeat_interval=hb,
+            **ro_kw,
         )
         self.out_sbs = self.net.add_output(
             "sbs_out", heartbeat=b"\r\n", heartbeat_interval=hb
@@ -95,13 +97,27 @@ class App:
         self.out_uat_replay = self.net.add_output("uat_replay_out")
         self.out_vrs = self.net.add_output("vrs_out")
         self.out_asterix = self.net.add_output("asterix_out")
-        self.out_beast_reduce = self.net.add_output("beast_reduce_out")
+        self.out_beast_reduce = self.net.add_output(
+            "beast_reduce_out",
+            flush_bytes=args.net_ro_size,
+            flush_interval=(
+                args.net_ro_interval_beast_reduce
+                if args.net_ro_interval_beast_reduce is not None
+                else args.net_ro_interval
+            ),
+        )
         self.tracker.reduce_interval_ms = int(args.net_beast_reduce_interval * 1000)
         if args.net_beast_reduce_filter_dist is not None:
             self.tracker.reduce_filter_dist_m = args.net_beast_reduce_filter_dist * 1852.0
         if args.net_beast_reduce_filter_alt is not None:
             self.tracker.reduce_filter_alt_ft = args.net_beast_reduce_filter_alt
         self.tracker.reduce_optimize_mlat = args.net_beast_reduce_optimize_for_mlat
+        # readsb.c: position_persistence += max(0, json_reliable - 1)
+        self.tracker.position_persistence = float(
+            args.position_persistence + max(0, (args.json_reliable or 1) - 1)
+        )
+        self.tracker.track_expire_jaero_ms = int(args.jaero_timeout * 60_000)
+        self.tracker.outline.duration_ms = int(args.range_outline_hours * 3_600_000)
         self.beast_dump = None
         if args.dump_beast_dir:
             from ..io.beastdump import BeastDumper
@@ -158,6 +174,9 @@ class App:
         if self.args.show_raw:
             if self.args.onlyaddr:  # mode_s.c:1829: address-only display
                 print("%06x" % (mm.addr & 0xFFFFFF), flush=False)
+            elif self.args.mlat_display:  # Beast ASCII with mlat timestamp
+                print("@%012X%s;" % (raw_ts & 0xFFFFFFFFFFFF, mm.msg.hex()),
+                      flush=False)
             else:
                 print("*%s;" % mm.msg.hex(), flush=False)
         if self._df_filter is not None and mm.msgtype not in self._df_filter:
@@ -183,7 +202,7 @@ class App:
             sbs_lanes.append(self.out_sbs_jaero)
         if self.out_sbs_replay.clients and getattr(mm, "sbs_in", False):
             sbs_lanes.append(self.out_sbs_replay)
-        if sbs_lanes:
+        if sbs_lanes and not (self.args.net_sbs_reduce and not mm.reduce_forward):
             line = sbs_io.encode_line(
                 mm, geom_delta=(a.geom_delta if a is not None else None),
                 now_ms=mm.sys_timestamp_ms, use_gnss=self.args.gnss,
@@ -191,12 +210,27 @@ class App:
             if line:
                 for lane in sbs_lanes:
                     lane.send(line)
-        if self.out_json.clients and mm.cpr_decoded:
-            import json as _json
+        if self.out_json.clients and a is not None:
+            emit = mm.cpr_decoded
+            if (
+                not emit
+                and self.args.net_json_port_include_noposition
+                and mm.msgtype == 11
+                and mm.sys_timestamp_ms > (a.seen_pos or 0) + 10_000
+            ):
+                emit = True  # state for position-quiet aircraft (help.h:141)
+            iv_ms = self.args.net_json_port_interval * 1000.0
+            if emit and iv_ms > 0:
+                if getattr(a, "_next_json_port", 0) > mm.sys_timestamp_ms:
+                    emit = False
+                else:
+                    a._next_json_port = mm.sys_timestamp_ms + iv_ms
+            if emit:
+                import json as _json
 
-            self.out_json.send(
-                (_json.dumps(json_out.aircraft_dict(self.tracker, a, mm.sys_timestamp_ms)) + "\n").encode()
-            )
+                self.out_json.send(
+                    (_json.dumps(json_out.aircraft_dict(self.tracker, a, mm.sys_timestamp_ms)) + "\n").encode()
+                )
         # beast_reduce: only messages the tracker flagged interesting
         # (reduce_forward decisions, track.c:2076-2326; writer net_io.c)
         if (
@@ -207,7 +241,11 @@ class App:
             self.out_beast_reduce.send(
                 beast_io.encode_frame(mm.msg, raw_ts, signal)
             )
-        if self.out_asterix.clients and mm.addr != constants.HEX_UNKNOWN:
+        if (
+            self.out_asterix.clients
+            and mm.addr != constants.HEX_UNKNOWN
+            and not (self.args.net_asterix_reduce and not mm.reduce_forward)
+        ):
             from ..io import asterix as asterix_io
 
             pkt = asterix_io.encode_cat21(mm, now_ms=mm.sys_timestamp_ms)
@@ -849,11 +887,15 @@ class App:
                 rj = json_out.generate_receiver_json(
                     int(args.write_json_every * 1000), args.lat, args.lon
                 )
+                rj["jaeroTimeout"] = round(args.jaero_timeout, 1)
+                if args.tar1090_use_api:
+                    rj["reapi"] = True  # json_out.c:1906
                 json_out.write_json_atomic(rj, os.path.join(args.write_json, "receiver.json"))
-                json_out.write_json_atomic(
-                    self.tracker.receivers.receivers_json(now),
-                    os.path.join(args.write_json, "receivers.json"),
-                )
+                if args.write_receiver_id_json or args.json_globe_index:
+                    json_out.write_json_atomic(
+                        self.tracker.receivers.receivers_json(now),
+                        os.path.join(args.write_json, "receivers.json"),
+                    )
                 if args.lat is not None:
                     import json as _json
 
@@ -1297,6 +1339,13 @@ class App:
             # ordered shutdown (readsb.c:2917-3011): stop periodic work,
             # drain pending decode, final state write, flush, close
             self._exiting = True
+            if (
+                getattr(self, "api_server", None) is not None
+                and self.args.api_shutdown_delay > 0
+            ):
+                # keep serving in-flight API queries; new ones get 503
+                self.api_server.draining = True
+                await asyncio.sleep(self.args.api_shutdown_delay)
             periodic.cancel()
             self.drain_net_queue()
             if self.args.json_globe_index and self.args.write_json:

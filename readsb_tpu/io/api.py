@@ -143,6 +143,8 @@ class ApiServer:
         self.server: Optional[asyncio.AbstractServer] = None
         self.snapshot: Optional[ApiSnapshot] = None
         self._last_update = 0.0
+        # --api-shutdown-delay: existing queries drain, new ones get 503
+        self.draining = False
 
     async def listen(self, port: int, host: str = "0.0.0.0") -> None:
         self.server = await asyncio.start_server(self.handle, host, port)
@@ -172,7 +174,13 @@ class ApiServer:
                     h = await reader.readline()
                     if not h or h in (b"\r\n", b"\n"):
                         break
-                body, status, ctype = self.respond(target)
+                if self.draining:
+                    body, status, ctype = (
+                        b'{"error":"shutting down"}', "503 Service Unavailable",
+                        "application/json",
+                    )
+                else:
+                    body, status, ctype = self.respond(target)
                 head = (
                     f"HTTP/1.1 {status}\r\nContent-Type: {ctype}\r\n"
                     f"Content-Length: {len(body)}\r\nConnection: keep-alive\r\n\r\n"

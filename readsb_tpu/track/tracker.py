@@ -376,6 +376,10 @@ class Tracker:
         self.reduce_filter_dist_m = -1.0  # --net-beast-reduce-filter-dist
         self.reduce_filter_alt_ft = -1.0  # --net-beast-reduce-filter-alt
         self.reduce_optimize_mlat = False  # --net-beast-reduce-optimize-for-mlat
+        # reliability counter cap (Modes.position_persistence, track.c:3713)
+        self.position_persistence = 4.0
+        # JAERO aircraft stay on the map longer (track.c:2857-2870)
+        self.track_expire_jaero_ms = 33 * 60_000
         from .receiver import ReceiverStore
 
         self.aircraft: dict[int, Aircraft] = {}
@@ -1214,14 +1218,15 @@ class Tracker:
         if from_global:
             a.seen_pos_global = now
             a.local_cpr_allow_ac_rel = True
+        cap = self.position_persistence  # Modes.position_persistence cap
         if mm.cpr_odd:
-            a.pos_reliable_odd = min(a.pos_reliable_odd + inc, 4.0)
+            a.pos_reliable_odd = min(a.pos_reliable_odd + inc, cap)
             if from_global:
-                a.pos_reliable_even = min(a.pos_reliable_even + 0.5, 4.0)
+                a.pos_reliable_even = min(a.pos_reliable_even + 0.5, cap)
         else:
-            a.pos_reliable_even = min(a.pos_reliable_even + inc, 4.0)
+            a.pos_reliable_even = min(a.pos_reliable_even + inc, cap)
             if from_global:
-                a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, 4.0)
+                a.pos_reliable_odd = min(a.pos_reliable_odd + 0.5, cap)
         if self.pos_reliable(a):
             # reliable-position snapshot (setPosition, track.c:1172-1182)
             a.lat_reliable = lat
@@ -1317,7 +1322,11 @@ class Tracker:
         """trackRemoveStale sweep (track.c:2948): expire fields, drop idle."""
         dead = []
         for addr, a in self.aircraft.items():
-            if now > a.seen + TRACK_EXPIRE_LONG + 2 * MINUTES:
+            expire = TRACK_EXPIRE_LONG
+            if a.addrtype == AddrType.JAERO:
+                # satellite-relayed reports update rarely (track.c:2857-2870)
+                expire = max(expire, self.track_expire_jaero_ms)
+            if now > a.seen + expire + 2 * MINUTES:
                 dead.append(addr)
                 continue
             for v in (

@@ -100,3 +100,78 @@ def test_onlyaddr_cli(tmp_path, capture_small):
     lines = [l.strip() for l in out.stdout.splitlines() if l.strip()]
     assert lines, out.stderr[-2000:]
     assert all(len(l) == 6 and int(l, 16) >= 0 for l in lines)
+
+
+def test_jaero_timeout_expiry():
+    from readsb_tpu.decode.fields import AddrType
+
+    tr = Tracker()
+    now = 1_700_000_000_000
+    a = tr.get_or_create(0x123456, now)
+    a.seen = now
+    a.messages = 5
+    a.addrtype = AddrType.JAERO
+    b = tr.get_or_create(0x654321, now)
+    b.seen = now
+    b.messages = 5
+    # past normal expiry but inside the JAERO window: only b is dropped
+    tr.remove_stale(now + 20 * 60_000)
+    assert 0x123456 in tr.aircraft and 0x654321 not in tr.aircraft
+    tr.remove_stale(now + 40 * 60_000)
+    assert 0x123456 not in tr.aircraft
+
+
+def test_position_persistence_cap(capture_small):
+    frames, _ = demodulate_file(capture_small + ".uc8.dat", fmt="uc8")
+    tr = Tracker()
+    tr.position_persistence = 2.0
+    for f in frames:
+        tr.update(decode_frame(f))
+    caps = [
+        max(a.pos_reliable_odd, a.pos_reliable_even)
+        for a in tr.aircraft.values() if a.seen_pos
+    ]
+    assert caps and max(caps) <= 2.0
+
+
+def test_api_shutdown_draining():
+    import asyncio
+
+    from readsb_tpu.io.api import ApiServer
+
+    class _App:
+        tracker = Tracker()
+
+        def now_ms(self):
+            return 0
+
+    srv = ApiServer(_App())
+    srv.draining = True
+
+    async def go():
+        r = asyncio.StreamReader()
+        r.feed_data(b"GET /?all HTTP/1.1\r\n\r\n")
+        r.feed_eof()
+        chunks = []
+
+        class _W:
+            def write(self, b):
+                chunks.append(b)
+
+            async def drain(self):
+                pass
+
+            def close(self):
+                pass
+
+            async def wait_closed(self):
+                pass
+
+            def get_extra_info(self, *_):
+                return None
+
+        await srv.handle(r, _W())
+        return b"".join(chunks)
+
+    out = asyncio.run(go())
+    assert b"503" in out.split(b"\r\n")[0]
