@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shed feeders whose ping RTT EMA exceeds this (ms)")
     p.add_argument("--uuid-file", default=None,
                    help="receiver UUID sent on beast_reduce_plus connections")
+    p.add_argument("--net-receiver-id", action="store_true",
+                   help="forward receiver IDs as 0xE3 frames on beast outputs")
+    p.add_argument("--net-buffer", type=int, default=2,
+                   help="per-client output backlog: 64KiB << n")
+    p.add_argument("--decode-threads", type=int, default=1,
+                   help="worker threads for the decode executor")
     p.add_argument("--net-ro-interval", type=float, default=0.05,
                    help="TCP output flush interval (s) for raw/beast outputs")
     p.add_argument("--net-ro-size", type=int, default=1200,

@@ -75,6 +75,8 @@ class App:
         hb = args.net_heartbeat
         # heartbeat payloads per wire format (net_io.c:109-126)
         ro_kw = dict(flush_bytes=args.net_ro_size, flush_interval=args.net_ro_interval)
+        if args.net_buffer != 2:  # --net-buffer: 64KiB << n per-client backlog
+            ro_kw["max_backlog"] = 65536 << max(0, min(args.net_buffer, 12))
         self.out_raw = self.net.add_output(
             "raw_out", heartbeat=b"*0000;\n", heartbeat_interval=hb, **ro_kw
         )
@@ -187,8 +189,10 @@ class App:
             if mm.correctedbits < 2 or self.args.net_verbatim:
                 self.out_raw.send(raw_io.encode_line(mm.msg, raw_ts or None))
         if self.out_beast.clients and len(mm.msg) in (2, 7, 14):
-            self.out_beast.send(
-                beast_io.encode_frame(mm.msg, raw_ts, signal, modeac=len(mm.msg) == 2)
+            self._beast_send(
+                self.out_beast,
+                beast_io.encode_frame(mm.msg, raw_ts, signal, modeac=len(mm.msg) == 2),
+                mm,
             )
         sbs_lanes = []
         is_mlat = mm.source == Source.MLAT
@@ -238,8 +242,10 @@ class App:
             and mm.reduce_forward
             and len(mm.msg) in (7, 14)
         ):
-            self.out_beast_reduce.send(
-                beast_io.encode_frame(mm.msg, raw_ts, signal)
+            self._beast_send(
+                self.out_beast_reduce,
+                beast_io.encode_frame(mm.msg, raw_ts, signal),
+                mm,
             )
         if (
             self.out_asterix.clients
@@ -466,6 +472,16 @@ class App:
         finally:
             loop.remove_reader(fd)
             src.close()
+
+    def _beast_send(self, svc, payload: bytes, mm) -> None:
+        """Beast output with optional 0xE3 receiver-id forwarding: resend
+        the id frame whenever it changes on the lane (net_io.c:1657-1680)."""
+        if self.args.net_receiver_id:
+            rid = getattr(mm, "receiver_id", 0)
+            if getattr(svc, "_last_rid", None) != rid:
+                svc._last_rid = rid
+                svc.send(beast_io.encode_receiver_id(rid))
+        svc.send(payload)
 
     def _drain_modeac(self, demod) -> None:
         """Forward Mode A/C pseudo-messages into the tracker/outputs."""
@@ -1313,6 +1329,12 @@ class App:
     async def amain(self) -> int:
         self._exit_event = asyncio.Event()
         self._exiting = False
+        if self.args.decode_threads > 1:
+            import concurrent.futures as _cf
+
+            asyncio.get_event_loop().set_default_executor(
+                _cf.ThreadPoolExecutor(max_workers=self.args.decode_threads)
+            )
         await self.setup_net()
         self._install_signals()
         self._start_watchdog()

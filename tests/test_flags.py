@@ -175,3 +175,31 @@ def test_api_shutdown_draining():
 
     out = asyncio.run(go())
     assert b"503" in out.split(b"\r\n")[0]
+
+
+def test_net_receiver_id_forwarding():
+    """--net-receiver-id: 0xE3 id frame precedes data whenever the lane's
+    receiver changes, and is not repeated while it stays the same."""
+    from readsb_tpu.app.main import App
+    from readsb_tpu.app.config import build_parser
+    from readsb_tpu.io import beast as beast_io
+
+    app = App.__new__(App)
+    app.args = build_parser().parse_args(["--net-only", "--net-receiver-id"])
+
+    sent = []
+
+    class _Svc:
+        def send(self, b):
+            sent.append(bytes(b))
+
+    svc = _Svc()
+    mm1 = types.SimpleNamespace(receiver_id=0xAABB)
+    mm2 = types.SimpleNamespace(receiver_id=0xCCDD)
+    app._beast_send(svc, b"payload1", mm1)
+    app._beast_send(svc, b"payload2", mm1)
+    app._beast_send(svc, b"payload3", mm2)
+    assert sent[0] == beast_io.encode_receiver_id(0xAABB)
+    assert sent[1:3] == [b"payload1", b"payload2"]
+    assert sent[3] == beast_io.encode_receiver_id(0xCCDD)
+    assert sent[4] == b"payload3"
