@@ -192,7 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
     # --- output
     p.add_argument("--write-json", default=None, metavar="DIR")
     p.add_argument("--write-json-every", type=float, default=1.0)
-    p.add_argument("--json-globe-index", action="store_true",
+    p.add_argument("--json-globe-index", "--write-json-globe-index",
+                   dest="json_globe_index", action="store_true",
                    help="write globe_NNNN.binCraft.zst tile snapshots + traces")
     p.add_argument("--json-trace-interval", type=float, default=30.0,
                    help="aircraft trace point interval, seconds")
@@ -208,6 +209,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint directory (state save/load)")
     p.add_argument("--write-state-every", type=float, default=60.0)
     p.add_argument("--quiet", action="store_true", default=True)
+    p.add_argument("--snip", type=int, default=None, metavar="LEVEL",
+                   help="filter UC8 IQ on stdin->stdout: squelch quiet runs "
+                        "beyond 32 samples (readsb.c:1192)")
+    p.add_argument("--receiver-focus", type=lambda v: int(v, 16), default=None,
+                   metavar="HEX64", help="only process messages from this receiverId")
     p.add_argument("--onlyaddr", action="store_true",
                    help="stdout display shows only ICAO addresses (mode_s.c:1829)")
     p.add_argument("--auto-exit", type=float, default=0.0, metavar="SEC",

@@ -157,6 +157,11 @@ class App:
             and (mm.addr & 0xFFFFFF) != self.args.show_only
         ):
             return
+        if (
+            self.args.receiver_focus is not None
+            and getattr(mm, "receiver_id", 0) != self.args.receiver_focus
+        ):
+            return  # net_io.c:2956,4976: focus on a single feeder
         self.messages += 1
         if getattr(mm, "remote", False):
             if len(mm.msg) == 2:
@@ -1404,9 +1409,47 @@ def _ensure_jax_backend() -> None:
         jax.devices()
 
 
+def snip_mode(level: int, fin=None, fout=None) -> None:
+    """--snip: squelch quiet IQ runs to shrink example captures.
+
+    Keeps the first 32 samples of any quiet run (|i-127|<level and
+    |q-127|<level) and drops the rest, like the reference's snipMode
+    (readsb.c:1192-1206), but vectorized over chunks with a carried
+    run length instead of a per-byte getchar loop."""
+    import numpy as np
+
+    fin = fin if fin is not None else sys.stdin.buffer
+    fout = fout if fout is not None else sys.stdout.buffer
+    keep_n = 32  # MODES_PREAMBLE_SIZE (readsb.h:118-120)
+    run = 0  # quiet samples carried across chunk boundaries
+    while True:
+        raw = fin.read(1 << 20)
+        if not raw:
+            break
+        if len(raw) % 2:
+            raw = raw[:-1]
+        iq = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 2).astype(np.int16)
+        quiet = (np.abs(iq[:, 0] - 127) < level) & (np.abs(iq[:, 1] - 127) < level)
+        # per-sample quiet-run length: position minus last loud position
+        idx = np.arange(len(quiet), dtype=np.int64)
+        loud_idx = np.where(~quiet, idx, -1)
+        last_loud = np.maximum.accumulate(loud_idx)
+        runs = np.where(quiet, idx - last_loud, 0)
+        # a fully-quiet prefix continues the carried run
+        prefix = quiet.argmin() if not quiet.all() else len(quiet)
+        runs[:prefix] += run
+        run = int(runs[-1]) if quiet[-1] else 0
+        keep = ~(quiet & (runs > keep_n))
+        fout.write(iq[keep].astype(np.uint8).tobytes())
+    fout.flush()
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     args = parse_args(argv)
+    if args.snip is not None:
+        snip_mode(args.snip)
+        return 0
     _ensure_jax_backend()
     app = App(args)
     try:

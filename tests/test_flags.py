@@ -203,3 +203,49 @@ def test_net_receiver_id_forwarding():
     assert sent[1:3] == [b"payload1", b"payload2"]
     assert sent[3] == beast_io.encode_receiver_id(0xCCDD)
     assert sent[4] == b"payload3"
+
+
+def test_snip_matches_scalar_reference():
+    """Vectorized --snip equals the reference's per-sample getchar loop
+    (readsb.c:1192-1206), including across chunk boundaries."""
+    import io
+
+    import numpy as np
+
+    from readsb_tpu.app.main import snip_mode
+
+    rng = np.random.default_rng(5)
+    # mostly-quiet stream with loud bursts
+    n = 300_000
+    iq = rng.integers(120, 135, size=2 * n, dtype=np.int64)
+    loud_at = rng.integers(0, 2 * n, size=200)
+    iq[loud_at] = 250
+    data = iq.astype(np.uint8).tobytes()
+
+    def scalar(level):
+        out = bytearray()
+        c = 0
+        for k in range(0, len(data) - 1, 2):
+            i, q = data[k], data[k + 1]
+            if abs(i - 127) < level and abs(q - 127) < level:
+                c += 1
+                if c > 32:
+                    continue
+            else:
+                c = 0
+            out += bytes((i, q))
+        return bytes(out)
+
+    for level in (5, 25):
+        fout = io.BytesIO()
+        snip_mode(level, fin=io.BytesIO(data), fout=fout)
+        assert fout.getvalue() == scalar(level), level
+
+    # chunk-boundary carry: tiny reads force runs to straddle chunks
+    class Dribble(io.BytesIO):
+        def read(self, _n=-1):
+            return super().read(4096)
+
+    fout = io.BytesIO()
+    snip_mode(25, fin=Dribble(data), fout=fout)
+    assert fout.getvalue() == scalar(25)
