@@ -198,6 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json-trace-interval", type=float, default=30.0,
                    help="aircraft trace point interval, seconds")
     p.add_argument("--write-traces-every", type=float, default=15.0)
+    p.add_argument("--json-trace-hist-only", type=int, default=0, metavar="MASK",
+                   help="suppress live trace files: 1=recent, 2=full, 3=both "
+                        "(archive still written via globe history)")
     p.add_argument("--heatmap", type=float, default=0.0, metavar="SECONDS",
                    help="enable heatmap sampling at this interval")
     p.add_argument("--heatmap-dir", default=None)

@@ -934,6 +934,7 @@ class App:
                     _, self._trace_cursor = history_io.write_traces(
                         self.tracker, args.write_json, now,
                         cursor=getattr(self, "_trace_cursor", 0),
+                        hist_only=args.json_trace_hist_only,
                     )
                     self.stats_collector.cpu["background"] += (
                         time.perf_counter() - t0
@@ -1381,7 +1382,8 @@ class App:
                 from ..io import history as history_io
 
                 history_io.write_traces(self.tracker, self.args.write_json,
-                                        self.now_ms(), time_budget_s=None)
+                                        self.now_ms(), time_budget_s=None,
+                                        hist_only=self.args.json_trace_hist_only)
             if self.args.write_state:
                 from ..io import state as state_io
 

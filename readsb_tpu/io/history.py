@@ -51,7 +51,7 @@ def _atomic_write(path: str, data: bytes) -> None:
 def write_traces(tracker: Tracker, outdir: str, now: int,
                  full_interval_ms: int = 60 * SECONDS,
                  time_budget_s: float | None = 0.05,
-                 cursor: int = 0) -> tuple[int, int]:
+                 cursor: int = 0, hist_only: int = 0) -> tuple[int, int]:
     """traceWrite sweep: write trace_recent (always when dirty) and
     trace_full (mark_legs applied) per aircraft with history.
 
@@ -94,17 +94,21 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
         states = tr.full()
         mark_legs(states)
 
-        recent = states[-TRACE_RECENT_POINTS:]
-        doc = trace_json(a, recent, now)
-        _atomic_write(
-            os.path.join(shard, f"trace_recent_{hexid}.json"),
-            gzip.compress(json.dumps(doc, separators=(",", ":")).encode(), 5),
-        )
-        doc_full = trace_json(a, states, now)
-        _atomic_write(
-            os.path.join(shard, f"trace_full_{hexid}.json"),
-            gzip.compress(json.dumps(doc_full, separators=(",", ":")).encode(), 5),
-        )
+        # --json-trace-hist-only mask: 1 skips recent, 2 skips full
+        # (globe_index.c:494-546); globe-history archiving is unaffected
+        if not hist_only & 1:
+            recent = states[-TRACE_RECENT_POINTS:]
+            doc = trace_json(a, recent, now)
+            _atomic_write(
+                os.path.join(shard, f"trace_recent_{hexid}.json"),
+                gzip.compress(json.dumps(doc, separators=(",", ":")).encode(), 5),
+            )
+        if not hist_only & 2:
+            doc_full = trace_json(a, states, now)
+            _atomic_write(
+                os.path.join(shard, f"trace_full_{hexid}.json"),
+                gzip.compress(json.dumps(doc_full, separators=(",", ":")).encode(), 5),
+            )
         written += 1
     return written, new_cursor
 

@@ -255,3 +255,23 @@ def test_write_traces_budget_rotates_cursor(tmp_path):
     # everything clean: nothing written, cursor keeps rotating
     n, cursor = write_traces(tr, str(tmp_path), now, cursor=cursor)
     assert n == 0
+
+
+def test_write_traces_hist_only_mask(tmp_path):
+    from readsb_tpu.io.history import write_traces
+
+    tr = Tracker(keep_traces=True, json_trace_interval=8000)
+    now = 1_700_000_000_000
+    a = tr.get_or_create(0x500500, now)
+    a.trace = Trace()
+    a.lat, a.lon, a.gs, a.baro_alt = 50.0, 10.0, 300.0, 20000
+    for i in range(3):
+        t = now + i * 10_000
+        a.lat += 0.01
+        _fresh(a, t, ["gs", "baro_alt", "position"])
+        a.trace.add(a, t, json_trace_interval=8000)
+
+    write_traces(tr, str(tmp_path), now, time_budget_s=None, hist_only=1)
+    shard = tmp_path / "traces" / "00"
+    assert not (shard / "trace_recent_500500.json").exists()
+    assert (shard / "trace_full_500500.json").exists()
