@@ -27,10 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Mode-S/ADS-B receiver, decoder, aggregator and server",
     )
     # --- source
-    p.add_argument("--device-type", choices=["ifile", "rtlsdr", "modesbeast", "none"],
+    p.add_argument("--device-type",
+                   choices=["ifile", "rtlsdr", "soapy", "modesbeast", "none"],
                    default="none",
                    help="sample source (ifile=IQ replay, rtlsdr=USB dongle, "
-                        "modesbeast=Beast serial receiver)")
+                        "soapy=SoapySDR device, modesbeast=Beast serial receiver)")
     p.add_argument("--device", default="0",
                    help="rtl-sdr device index or serial string")
     p.add_argument("--gain", type=float, default=None,
@@ -40,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ppm", type=int, default=0, help="frequency correction ppm")
     p.add_argument("--enable-biastee", action="store_true",
                    help="enable bias tee on supporting rtl-sdr dongles")
+    p.add_argument("--soapy-device", default=None,
+                   help="SoapySDR device args string (e.g. driver=sdrplay)")
+    p.add_argument("--soapy-antenna", default=None)
+    p.add_argument("--soapy-bandwidth", type=float, default=None)
+    p.add_argument("--soapy-enable-agc", action="store_true")
     p.add_argument("--beast-serial", default="/dev/ttyUSB0",
                    help="Beast serial port path")
     p.add_argument("--beast-baudrate", type=int, default=3_000_000)

@@ -396,7 +396,6 @@ class App:
         asyncio loop batches them to superblock size and feeds the same
         Demodulator as ifile replay (sdr_rtlsdr.c:233-419 behavior)."""
         from ..io.sdr import RtlSdrSource
-        from ..pipeline import Demodulator
 
         args = self.args
         src = RtlSdrSource(
@@ -405,9 +404,29 @@ class App:
             freq_hz=args.freq, ppm=args.ppm, biastee=args.enable_biastee,
             buf_bytes=args.sdr_buffer_size,
         )
+        await self._run_sdr_source(src, "uc8")
+
+    async def run_soapy(self) -> None:
+        """SoapySDR capture (sdr_soapy.c): CS16 stream fed through the
+        SC16 input path."""
+        from ..io.sdr import SoapySource
+
+        args = self.args
+        src = SoapySource(
+            device_args=args.soapy_device or args.device,
+            gain_db=-10.0 if (args.enable_agc or args.soapy_enable_agc) else args.gain,
+            freq_hz=args.freq, antenna=args.soapy_antenna,
+            bandwidth=args.soapy_bandwidth,
+        )
+        await self._run_sdr_source(src, "sc16")
+
+    async def _run_sdr_source(self, src, fmt: str) -> None:
+        from ..pipeline import Demodulator
+
+        args = self.args
         src.open()
         demod = Demodulator(
-            fmt="uc8", blocks_per_batch=args.blocks_per_batch,
+            fmt=fmt, blocks_per_batch=args.blocks_per_batch,
             k_per_block=args.candidates_per_block,
             threshold=args.preamble_threshold, nfix=args.nfix_crc,
             fix_df=args.fix_df, modeac=args.modeac,
@@ -417,7 +436,7 @@ class App:
         src.start(loop)
         pending: list[bytes] = []
         pending_len = 0
-        want = demod.super_samples * 2
+        want = demod.super_samples * (2 if fmt == "uc8" else 4)
         try:
             while not self._exit_event.is_set():
                 data = await src.queue.get()
@@ -1356,6 +1375,8 @@ class App:
                     await asyncio.sleep(0.2)  # let outputs flush
             elif self.args.device_type == "rtlsdr":
                 await self.run_rtlsdr()
+            elif self.args.device_type == "soapy":
+                await self.run_soapy()
             elif self.args.device_type == "modesbeast":
                 await self.run_beast_serial()
             elif self.args.net or self.args.net_only:

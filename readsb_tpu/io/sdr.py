@@ -157,6 +157,127 @@ class RtlSdrSource:
             self._dev = None
 
 
+def _load_libsoapy():
+    name = ctypes.util.find_library("SoapySDR")
+    if not name:
+        return None
+    try:
+        lib = ctypes.CDLL(name)
+        lib.SoapySDRDevice_makeStrArgs
+        return lib
+    except OSError:
+        return None
+
+
+@dataclass
+class SoapySource:
+    """SoapySDR capture (sdr_soapy.c behavior): device by args string,
+    CS16 stream at 2.4 MS/s resampled to the UC8 pipeline via the SC16
+    input format.  Gated on libSoapySDR presence like RtlSdrSource."""
+
+    device_args: str = ""
+    gain_db: float | None = None  # None/<=-10 => hardware AGC
+    freq_hz: int = 1_090_000_000
+    sample_rate: int = 2_400_000
+    antenna: str | None = None
+    bandwidth: float | None = None
+    queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
+    _lib = None
+    _dev = None
+    _stream = None
+    _stop: threading.Event = field(default_factory=threading.Event)
+    dropped_buffers: int = 0
+
+    SOAPY_SDR_RX = 1  # SoapySDR/Constants.h
+
+    @staticmethod
+    def available() -> bool:
+        return _load_libsoapy() is not None
+
+    def open(self) -> None:
+        lib = _load_libsoapy()
+        if lib is None:
+            raise RuntimeError(
+                "libSoapySDR not found — soapy capture unavailable on this host"
+            )
+        self._lib = lib
+        lib.SoapySDRDevice_makeStrArgs.restype = ctypes.c_void_p
+        dev = lib.SoapySDRDevice_makeStrArgs(self.device_args.encode())
+        if not dev:
+            raise RuntimeError(f"soapy: no device for args {self.device_args!r}")
+        self._dev = ctypes.c_void_p(dev)
+        ch = 0
+        lib.SoapySDRDevice_setSampleRate(
+            self._dev, self.SOAPY_SDR_RX, ch, ctypes.c_double(self.sample_rate)
+        )
+        lib.SoapySDRDevice_setFrequency(
+            self._dev, self.SOAPY_SDR_RX, ch, ctypes.c_double(self.freq_hz), None
+        )
+        if self.antenna:
+            lib.SoapySDRDevice_setAntenna(
+                self._dev, self.SOAPY_SDR_RX, ch, self.antenna.encode()
+            )
+        if self.bandwidth:
+            lib.SoapySDRDevice_setBandwidth(
+                self._dev, self.SOAPY_SDR_RX, ch, ctypes.c_double(self.bandwidth)
+            )
+        if self.gain_db is None or self.gain_db <= -10:
+            lib.SoapySDRDevice_setGainMode(self._dev, self.SOAPY_SDR_RX, ch, 1)
+        else:
+            lib.SoapySDRDevice_setGainMode(self._dev, self.SOAPY_SDR_RX, ch, 0)
+            lib.SoapySDRDevice_setGain(
+                self._dev, self.SOAPY_SDR_RX, ch, ctypes.c_double(self.gain_db)
+            )
+        lib.SoapySDRDevice_setupStream.restype = ctypes.c_void_p
+        chans = (ctypes.c_size_t * 1)(ch)
+        self._stream = ctypes.c_void_p(
+            lib.SoapySDRDevice_setupStream(
+                self._dev, self.SOAPY_SDR_RX, b"CS16", chans, 1, None
+            )
+        )
+        if not self._stream:
+            raise RuntimeError("soapy: setupStream(CS16) failed")
+        lib.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> threading.Thread:
+        lib, dev, stream = self._lib, self._dev, self._stream
+        n_samples = SDR_BUF_BYTES // 4  # CS16 = 4 bytes/sample
+
+        def reader():
+            buf = (ctypes.c_int16 * (2 * n_samples))()
+            bufs = (ctypes.c_void_p * 1)(ctypes.addressof(buf))
+            flags = ctypes.c_int(0)
+            time_ns = ctypes.c_longlong(0)
+            while not self._stop.is_set():
+                n = lib.SoapySDRDevice_readStream(
+                    dev, stream, bufs, n_samples,
+                    ctypes.byref(flags), ctypes.byref(time_ns), 1_000_000,
+                )
+                if n <= 0:
+                    if n == -1:  # SOAPY_SDR_TIMEOUT
+                        continue
+                    break
+                data = ctypes.string_at(buf, n * 4)
+                loop.call_soon_threadsafe(self._push, data)
+            loop.call_soon_threadsafe(self.queue.put_nowait, b"")
+
+        t = threading.Thread(target=reader, name="soapy-reader", daemon=True)
+        t.start()
+        return t
+
+    _push = RtlSdrSource._push
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._lib is not None and self._dev is not None:
+            if self._stream is not None:
+                self._lib.SoapySDRDevice_deactivateStream(self._dev, self._stream, 0, 0)
+                self._lib.SoapySDRDevice_closeStream(self._dev, self._stream)
+                self._stream = None
+            self._lib.SoapySDRDevice_unmake(self._dev)
+            self._dev = None
+
+
 @dataclass
 class BeastSerialSource:
     """Raw-tty Beast receiver: configures the port + receiver options and

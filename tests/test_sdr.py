@@ -63,3 +63,30 @@ def test_rtlsdr_unavailable_is_clean():
         assert "librtlsdr" in str(e)
     else:
         raise AssertionError("open() must raise without librtlsdr")
+
+
+def test_soapy_unavailable_is_clean():
+    from readsb_tpu.io.sdr import SoapySource
+
+    if SoapySource.available():
+        return
+    try:
+        SoapySource().open()
+    except RuntimeError as e:
+        assert "SoapySDR" in str(e)
+    else:
+        raise AssertionError("open() must raise without libSoapySDR")
+
+
+def test_soapy_queue_shares_rtl_shedding():
+    import asyncio
+
+    from readsb_tpu.io.sdr import SoapySource
+
+    async def go():
+        src = SoapySource()
+        for i in range(20):
+            src._push(bytes([i]))
+        assert src.dropped_buffers == 20 - src.queue.maxsize
+
+    asyncio.run(go())
