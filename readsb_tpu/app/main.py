@@ -36,7 +36,7 @@ def _apply_platform_env() -> None:
 _apply_platform_env()
 
 from .. import constants
-from ..decode.fields import ModesMessage, Source, decode_frame
+from ..decode.fields import AddrType, ModesMessage, Source, decode_frame
 from ..io import beast as beast_io
 from ..io import json_out
 from ..io import raw as raw_io
@@ -256,6 +256,11 @@ class App:
             self.out_asterix.clients
             and mm.addr != constants.HEX_UNKNOWN
             and not (self.args.net_asterix_reduce and not mm.reduce_forward)
+            # CAT020/mlat and tisb reports are not emitted (net_io.c:2429-2433)
+            and mm.source != Source.MLAT
+            and mm.addrtype not in (
+                AddrType.TISB_ICAO, AddrType.TISB_TRACKFILE, AddrType.TISB_OTHER
+            )
         ):
             from ..io import asterix as asterix_io
 
