@@ -818,6 +818,7 @@ class App:
         if not q:
             return
         self._net_queue = []
+        _net_t0 = time.perf_counter()
         import numpy as np
 
         from ..ops import crc as crc_ops
@@ -860,6 +861,7 @@ class App:
                     )
                 continue
             self.handle_message(mm, raw_ts=bf.timestamp, signal=bf.signal_level)
+        self.stats_collector.cpu["net"] += (time.perf_counter() - _net_t0) * 1e3
 
     # ------------------------------------------------------------------
 
@@ -887,7 +889,9 @@ class App:
             self.stats_collector.sample(self, now / 1000.0)
             if getattr(self, "api_server", None) is not None:
                 # double-buffered query snapshot swap (apiUpdate, api.c:859)
+                _api_t0 = time.perf_counter()
                 self.api_server.update(now)
+                self.stats_collector.cpu["api"] += (time.perf_counter() - _api_t0) * 1e3
             if display is not None:
                 display.refresh(now)
             if self.tracker.db is not None and time.time() - last_db_check >= 30.0:

@@ -155,7 +155,8 @@ class StatsCollector:
         self._last: dict | None = None
         self._last_roll: float | None = None
         # live CPU accumulators (ms), charged by the app's sections
-        self.cpu = {"demod": 0.0, "reader": 0.0, "background": 0.0}
+        self.cpu = {"demod": 0.0, "reader": 0.0, "background": 0.0,
+                    "net": 0.0, "api": 0.0}
         # live signal accounting, fed per accepted local frame
         self._sig = [0.0, 0, 0.0, 0]  # sum, n, peak, strong
         self.remote_ping_rtt = [0] * self.PING_BUCKETS
