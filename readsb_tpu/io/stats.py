@@ -56,6 +56,8 @@ class StatsPeriod:
     cpu_demod: float = 0.0
     cpu_reader: float = 0.0
     cpu_background: float = 0.0
+    cpu_net: float = 0.0
+    cpu_api: float = 0.0
     # cpr + tracks
     counters: dict = dataclasses.field(
         default_factory=lambda: {k: 0 for k in _CPR_FIELDS}
@@ -70,7 +72,7 @@ class StatsPeriod:
             "unknown_icao", "signal_sum", "signal_n", "strong_signals",
             "remote_modeac", "remote_modes", "remote_bad",
             "remote_unknown_icao", "cpu_demod", "cpu_reader",
-            "cpu_background", "messages",
+            "cpu_background", "cpu_net", "cpu_api", "messages",
         ):
             setattr(self, f, getattr(self, f) + getattr(other, f))
         self.peak_signal = max(self.peak_signal, other.peak_signal)
@@ -119,6 +121,8 @@ class StatsPeriod:
             "demod": round(self.cpu_demod, 1),
             "reader": round(self.cpu_reader, 1),
             "background": round(self.cpu_background, 1),
+            "net": round(self.cpu_net, 1),
+            "api": round(self.cpu_api, 1),
         }
         out["cpr"] = {
             "surface": c["cpr_surface"],
@@ -249,6 +253,8 @@ class StatsCollector:
         cur.cpu_demod += d("cpu_demod")
         cur.cpu_reader += d("cpu_reader")
         cur.cpu_background += d("cpu_background")
+        cur.cpu_net += d("cpu_net")
+        cur.cpu_api += d("cpu_api")
         sig = self._sig
         cur.signal_sum += sig[0]
         cur.signal_n += sig[1]

@@ -168,7 +168,7 @@ def test_stats_json_windows(app_run):
         assert k in doc, doc.keys()
         blk = doc[k]
         assert "start" in blk and "end" in blk
-        assert "cpu" in blk and set(blk["cpu"]) == {"demod", "reader", "background"}
+        assert "cpu" in blk and set(blk["cpu"]) == {"demod", "reader", "background", "net", "api"}
         assert "cpr" in blk and "global_ok" in blk["cpr"]
         assert "tracks" in blk and "messages" in blk
     tot = doc["total"]
