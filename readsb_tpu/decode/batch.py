@@ -118,7 +118,12 @@ def decode_columns(
         "callsign": np.zeros((n, 8), np.uint8),
     }
 
-    es = (df == 17) | (df == 18)
+    # DF18 CF 3 (TIS-B coarse), 4 and 7 carry no standard ES payload —
+    # the scalar decoder returns before field extraction (fields.py DF18
+    # dispatch, mode_s.c:846-869); match it so columnar decode never
+    # invents positions from coarse TIS-B frames
+    cf18 = (msgs[:, 0] & 7).astype(np.int64)
+    es = (df == 17) | ((df == 18) & (cf18 != 3) & (cf18 != 4) & (cf18 != 7))
     metype = np.where(es, _me_bits(msgs, 1, 5), 0)
     out["metype"] = metype
 
@@ -158,8 +163,11 @@ def decode_columns(
     out["nic_b"] = np.where(air, _me_bits(msgs, 8, 8), out["nic_b"])
     alt_q, alt_ok = _ac12_to_alt(ac12)
     baro = air & (metype <= 18)  # metype 20-22: geometric (arena v2: baro only)
-    out["alt_valid"] |= baro & alt_ok
-    out["alt"] = np.where(baro & alt_ok, alt_q, out["alt"])
+    # on-ground reports carry no usable AC12 altitude (fields.py
+    # _decode_es_airborne: `ac12 and airground != GROUND`)
+    not_ground = ag != int(AirGround.GROUND)
+    out["alt_valid"] |= baro & alt_ok & not_ground
+    out["alt"] = np.where(baro & alt_ok & not_ground, alt_q, out["alt"])
 
     # --- surface position --------------------------------------------------
     surf = es & (metype >= 5) & (metype <= 8)
@@ -219,8 +227,9 @@ def decode_columns(
         | ((b & 0x0008) >> 3) * 0x0200 | ((b & 0x0004) >> 2) * 0x0002
         | ((b & 0x0002) >> 1) * 0x0400 | (b & 0x0001) * 0x0004
     )
-    out["squawk_valid"] |= id_reply
-    out["squawk"] = np.where(id_reply, hexd, out["squawk"])
+    # id13 == 0 means "no code" and stays invalid (fields.py: `if id13:`)
+    out["squawk_valid"] |= id_reply & (b != 0)
+    out["squawk"] = np.where(id_reply & (b != 0), hexd, out["squawk"])
 
     # hot-path coverage marker: rows NOT covered must take the scalar path
     covered = (
