@@ -346,6 +346,7 @@ class Aircraft:
 
     # history
     trace: Optional[object] = None  # track.traces.Trace when keep_traces
+    receiver_id: int = 0  # feeder of the last accepted position (lastPosReceiverId)
     globe_index: int = -1  # current 3-degree globe tile
 
     def rssi(self) -> float:
@@ -1203,6 +1204,7 @@ class Tracker:
         a.seen_pos = now
         a.pos_surface = mm.cpr_type == CprType.SURFACE
         a.gs_last_pos = a.gs or 0.0
+        a.receiver_id = mm.receiver_id  # lastPosReceiverId (track.c:1166)
         a.pos_nic = mm.decoded_nic
         a.pos_rc = mm.decoded_rc
         mm.cpr_decoded = True
