@@ -55,6 +55,10 @@ def test_decode_columns_fuzz_parity():
             assert mm.gs_selected is not None, i
             assert abs(float(cols["gs"][i]) - mm.gs_selected) < 1e-6, i
             checked += 1
+        if cols["track_valid"][i]:
+            assert mm.heading is not None, i
+            assert abs(float(cols["track"][i]) - mm.heading) < 1e-9, i
+            checked += 1
         if cols["callsign_valid"][i]:
             assert mm.callsign is not None, i
             assert bytes(cols["callsign"][i]).decode("latin1") == mm.callsign, i
