@@ -21,7 +21,7 @@ vectorized haversine over the position subset.
 from __future__ import annotations
 
 import asyncio
-import bisect
+
 import json
 import math
 import struct
@@ -97,8 +97,8 @@ class ApiSnapshot:
     # -- query primitives ------------------------------------------------
 
     def box(self, lat_s, lat_n, lon_w, lon_e) -> np.ndarray:
-        lo = bisect.bisect_left(self.lat.tolist(), lat_s)
-        hi = bisect.bisect_right(self.lat.tolist(), lat_n)
+        lo = int(np.searchsorted(self.lat, lat_s, side="left"))
+        hi = int(np.searchsorted(self.lat, lat_n, side="right"))
         idx = np.arange(lo, hi)
         if len(idx) == 0:
             return idx

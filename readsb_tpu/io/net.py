@@ -222,14 +222,17 @@ class OutputService:
             if j < 0 or j + 2 > len(buf):
                 return buf[j:] if j >= 0 else b""
             t = buf[j + 1 : j + 2]
-            if t == b"1" and j + 3 <= len(buf):
+            if t in (b"1", b"W"):
+                if j + 3 > len(buf):
+                    # third byte not yet received — keep the partial command
+                    # pending instead of consuming 2 bytes and losing it
+                    return buf[j:]
                 c = buf[j + 2 : j + 3]
-                if opts is not None and c in (b"J", b"j"):
-                    opts["modeac"] = c == b"J"  # 1J on / 1j off
-                i = j + 3
-            elif t == b"W" and j + 3 <= len(buf):
-                if opts is not None and buf[j + 2 : j + 3] == b"O":
-                    opts["ping"] = True  # high-res ping enable (net_io.c:4897)
+                if opts is not None:
+                    if t == b"1" and c in (b"J", b"j"):
+                        opts["modeac"] = c == b"J"  # 1J on / 1j off
+                    elif t == b"W" and c == b"O":
+                        opts["ping"] = True  # high-res ping enable (net_io.c:4897)
                 i = j + 3
             else:
                 i = j + 2

@@ -135,6 +135,7 @@ class RtlSdrSource:
 
         t = threading.Thread(target=reader, name="rtlsdr-reader", daemon=True)
         t.start()
+        self._thread = t
         return t
 
     def _push(self, data: bytes) -> None:
@@ -147,7 +148,14 @@ class RtlSdrSource:
         self.queue.put_nowait(data)
 
     def close(self) -> None:
+        # rtlsdr_cancel_async does NOT interrupt a synchronous read, so the
+        # reader thread may still be inside rtlsdr_read_sync on this handle;
+        # closing under it is a use-after-free.  Signal stop, wait for the
+        # in-flight read to return (one buffer period, ~55 ms), then close.
         self._stop.set()
+        t = getattr(self, "_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=2.0)
         if self._lib is not None and self._dev is not None:
             try:
                 self._lib.rtlsdr_cancel_async(self._dev)

@@ -529,7 +529,10 @@ def _demod_raw_gated(self: Demodulator, raw_bytes: np.ndarray, valid_len: int) -
     as the last 326 raw words host-side (no device readback needed)."""
     words = jnp.asarray(np.frombuffer(raw_bytes.tobytes(), dtype="<u2"))
     if getattr(self, "_overlap_words", None) is None:
-        self._overlap_words = np.zeros(TRAILING_SAMPLES, dtype="<u2")
+        # 0x8080 = I=Q=128 ≈ zero magnitude: matches the mag path's silent
+        # initial overlap (0x0000 words would convert to near-full-scale
+        # |I-127.4| and could fire spurious preambles in the first block)
+        self._overlap_words = np.full(TRAILING_SAMPLES, 0x8080, dtype="<u2")
     ow = jnp.asarray(self._overlap_words)
     mirror = self.icao_mirror
     while True:
@@ -746,8 +749,9 @@ class MultiDemodulator:
                 )
             )
             if getattr(self, "_overlap_words", None) is None:
-                self._overlap_words = np.zeros(
-                    (self.n_chan, TRAILING_SAMPLES), dtype="<u2"
+                # 0x8080 = I=Q=128 ≈ silence (see _demod_raw_gated)
+                self._overlap_words = np.full(
+                    (self.n_chan, TRAILING_SAMPLES), 0x8080, dtype="<u2"
                 )
             ow = jnp.asarray(self._overlap_words)
         else:

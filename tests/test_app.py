@@ -20,11 +20,42 @@ def _free_port():
     return p
 
 
+def _free_port_block(n):
+    """Find a base port where base..base+n-1 are all currently bindable.
+
+    The app auto-listens on sbs_port+1..+4 (app/main.py SBS variants), so the
+    SBS port must come with 4 consecutive free neighbours — a lone _free_port()
+    can collide with another fixture's listener and error the whole module.
+    """
+    for _ in range(200):
+        base = _free_port()
+        socks = []
+        try:
+            for k in range(n):
+                s = socket.socket()
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+                s.bind(("127.0.0.1", base + k))
+                socks.append(s)
+        except OSError:
+            continue
+        finally:
+            for s in socks:
+                s.close()
+        if len(socks) == n:
+            return base
+    raise RuntimeError("no free port block found")
+
+
 @pytest.fixture(scope="module")
 def app_run(capture_small, tmp_path_factory):
     """Run the app over the capture with all outputs enabled; collect them."""
     d = tmp_path_factory.mktemp("json")
-    ro, sbs, api = _free_port(), _free_port(), _free_port()
+    sbs = _free_port_block(5)
+    ro = api = None
+    while ro is None or ro in range(sbs, sbs + 5):
+        ro = _free_port()
+    while api is None or api in range(sbs, sbs + 5) or api == ro:
+        api = _free_port()
     proc = subprocess.Popen(
         [
             sys.executable, "-m", "readsb_tpu.app.main",

@@ -17,7 +17,10 @@ def test_beast_serial_options_over_pty():
     )
     try:
         src.open()
-        data = os.read(controller, 4096)
+        # a pty may deliver the 9 option triplets across several reads
+        data = b""
+        while len(data) < 27:
+            data += os.read(controller, 4096)
     finally:
         src.close()
         os.close(controller)
