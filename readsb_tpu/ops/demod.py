@@ -345,6 +345,9 @@ class BlockCandidates(NamedTuple):
     syn56: jax.Array  # int32[K, 5] CRC syndrome over first 56 bits
     sig_long: jax.Array  # int32[K, 2] (hi, lo) exact split sum of mag^2, 268 samples
     sig_short: jax.Array  # int32[K, 2] (hi, lo) over the first 134 samples
+    # fused-classifier flags (extract_classify_pallas lanes 83:88), or None:
+    # per-phase bitmask 1=in_t112 2=in_t56 4=in_tbl 8=fix_ok 16=zero7
+    flags: jax.Array | None = None
 
     @property
     def sigsum_long(self) -> np.ndarray:
@@ -426,8 +429,17 @@ def _demod_core(
     seg_stride: int | None = None,
     seg_valid: int | None = None,
     raw_uc8: bool = False,
+    known_tbl: jax.Array | None = None,
+    nfix: int = 1,
+    fix_df: bool = True,
 ):
     """Stages 1-5 of the demodulator (everything except signal power).
+
+    known_tbl (sentinel-padded known-ICAO addresses): when given and the
+    Pallas path is live, stage 4/5 runs the fused extract+classify kernel
+    and the returned BlockCandidates carries per-phase classifier flags
+    (consumed by ops.gate.score_gate, which then skips its own HBM-wide
+    membership compares).
 
     raw_uc8=True: buf is uint16 IQ *words* (one interleaved uc8 pair per
     element) and the fused convert+dense Pallas kernel runs — the
@@ -502,9 +514,26 @@ def _demod_core(
 
     from . import pallas_kernels as pk
 
-    if (pk.supported() or raw_uc8) and k % pk.EX_ROWS == 0:
+    use_v2 = (
+        known_tbl is not None
+        and (pk.supported() or raw_uc8)
+        and k % pk.EX2_ROWS == 0
+        and known_tbl.shape[0] % 128 == 0
+    )
+    if use_v2:
+        # fused Pallas extract + gate classification (v2): intermediates
+        # never leave VMEM and the gate's membership compares ride along
+        comb = pk.extract_classify_pallas(
+            rows, offsets, known_tbl, nfix=nfix, fix_df=fix_df
+        )
+        flags = comb[:, 83:88]
+    elif (pk.supported() or raw_uc8) and k % pk.EX_ROWS == 0:
         # fused Pallas extraction: intermediates never leave VMEM
         comb = pk.extract_syndromes_pallas(rows, offsets)
+        flags = None
+    else:
+        comb = None
+    if comb is not None:
         syn112 = comb[:, 0:5]
         syn56 = comb[:, 5:10]
         msg = comb[:, 10:80].reshape(k, NUM_PHASES, 14).astype(jnp.uint8)
@@ -513,7 +542,7 @@ def _demod_core(
         bc = BlockCandidates(
             offsets=offsets, n_cand=n_cand, max_local=max_local,
             corr_fired=corr_fired, msg=msg, syn112=syn112, syn56=syn56,
-            sig_long=zeros2, sig_short=zeros2,
+            sig_long=zeros2, sig_short=zeros2, flags=flags,
         )
         return bc, cs_hi, cs_lo
 

@@ -133,24 +133,35 @@ def score_gate(
     cf = bc.corr_fired
     fired = jnp.stack([cf[:, 0], cf[:, 0], cf[:, 1], cf[:, 1], cf[:, 2]], axis=1)
 
-    zero7 = jnp.sum(msg[:, :, :7], axis=2) == 0  # (K,5) all-zero message
-
-    # --- syndrome table membership (small tables: broadcast compare) --------
-    if nfix > 0:
-        t112 = jnp.asarray(_table_syndromes_np(112, nfix))
-        t56 = jnp.asarray(_table_syndromes_np(56, nfix))
-        in_t112 = jnp.any(syn112[:, :, None] == t112[None, None, :], axis=-1)
-        in_t56 = jnp.any(syn56[:, :, None] == t56[None, None, :], axis=-1)
+    if bc.flags is not None:
+        # the fused extract kernel already classified each phase in VMEM
+        # (extract_classify_pallas); unpack its per-phase flag bitmask
+        fl = bc.flags
+        in_t112 = (fl & 1) != 0
+        in_t56 = (fl & 2) != 0
+        in_tbl_pre = (fl & 4) != 0
+        fix_ok = (fl & 8) != 0
+        zero7 = (fl & 16) != 0
     else:
-        in_t112 = jnp.zeros_like(syn112, dtype=bool)
-        in_t56 = jnp.zeros_like(syn56, dtype=bool)
+        in_tbl_pre = None
+        zero7 = jnp.sum(msg[:, :, :7], axis=2) == 0  # (K,5) all-zero message
 
-    # --- 1-bit damaged DF17 (fixDF17msgtype) --------------------------------
-    fix_ok = jnp.zeros_like(df, dtype=bool)
-    if fix_df and nfix > 0:
-        deltas = _df_delta_np()
-        for d in _DF17_FIXABLE:
-            fix_ok |= (df == d) & (syn112 == int(deltas[d]))
+        # --- syndrome table membership (small tables: broadcast compare) ----
+        if nfix > 0:
+            t112 = jnp.asarray(_table_syndromes_np(112, nfix))
+            t56 = jnp.asarray(_table_syndromes_np(56, nfix))
+            in_t112 = jnp.any(syn112[:, :, None] == t112[None, None, :], axis=-1)
+            in_t56 = jnp.any(syn56[:, :, None] == t56[None, None, :], axis=-1)
+        else:
+            in_t112 = jnp.zeros_like(syn112, dtype=bool)
+            in_t56 = jnp.zeros_like(syn56, dtype=bool)
+
+        # --- 1-bit damaged DF17 (fixDF17msgtype) ----------------------------
+        fix_ok = jnp.zeros_like(df, dtype=bool)
+        if fix_df and nfix > 0:
+            deltas = _df_delta_np()
+            for d in _DF17_FIXABLE:
+                fix_ok |= (df == d) & (syn112 == int(deltas[d]))
 
     # --- in-block teachable addresses (superset of host learns) -------------
     learn = fired & (
@@ -178,7 +189,10 @@ def score_gate(
 
     # --- known-ICAO test: residual in (known table U teach-set) -------------
     residual = jnp.where(df >= 16, syn112, syn56) & 0xFFFFFF
-    in_tbl = jnp.any(residual[:, :, None] == known_tbl[None, None, :], axis=-1)
+    if in_tbl_pre is not None:
+        in_tbl = in_tbl_pre  # probed in-kernel against the same table
+    else:
+        in_tbl = jnp.any(residual[:, :, None] == known_tbl[None, None, :], axis=-1)
     in_s = jnp.any(residual[:, :, None] == s_vals[None, None, :], axis=-1)
     known = in_tbl | in_s | s_overflow
 

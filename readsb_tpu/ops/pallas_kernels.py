@@ -554,6 +554,269 @@ def extract_syndromes_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# Extract v2: selection-matmul layout + fused gate classification.
+#
+# v1's bottleneck is structural: pltpu.repeat blows the 55 aligned window
+# words up to a (EX_ROWS, 1760) int32 intermediate (3.5 MB at 512 rows)
+# before the bit-unpack, and the first MXU matmul carries a 1760-deep
+# contraction of which ~68% of rows are zero (only 560 (phase,bit) taps
+# exist).  v2 replaces the repeat with two tiny *selection matmuls*: the
+# 55 words are split into exact f32 lo/hi 16-bit halves and multiplied by
+# a 0/1 matrix S[55, 560] with exactly one 1 per column — a lane
+# permutation-with-duplication executed on the MXU — then each of the 560
+# lanes is shifted by its static bit offset and masked to the message
+# bit.  Intermediates shrink 3.1x, the deep matmul shrinks 1760->560, and
+# EX2_ROWS doubles to 1024 rows/step (half the grid steps of v1).
+#
+# The same kernel optionally *classifies* each candidate phase the way
+# ops.gate.score_gate does (syndrome-table membership, 1-bit-damaged
+# DF17, known-ICAO residual probe, zero message) — hoisting the gate's
+# dominant cost, a (K, 5, |tbl|) broadcast compare through HBM, into
+# VMEM where the syndromes already live.  Flag lanes (83:88) hold a
+# per-phase bitmask: 1 in_t112, 2 in_t56, 4 in_tbl, 8 fix_ok, 16 zero7.
+# ---------------------------------------------------------------------------
+
+EX2_ROWS = 1024  # candidates per grid step of the v2 kernel
+N_EMIT = 560  # 5 phases x 112 bits, one emission lane each
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_v2_mats():
+    """(S f32[55, 560], SH int32[560], M1p f32[560, 310], M2p f32[310, 16]).
+
+    Emission order matches ops.demod._extract_plan, whose matrix (with
+    the column permutation folded in) is reused verbatim as M1p.
+    """
+    from .demod import _extract_plan
+
+    plan, m1p = _extract_plan()  # m1p: (560, 310)
+    s = np.zeros((55, N_EMIT), np.float32)
+    sh = np.zeros(N_EMIT, np.int32)
+    col = 0
+    for pl_, j, shifts in plan:
+        w = pl_ * 11 + j
+        for r in shifts:
+            s[w, col] = 1.0
+            sh[col] = int(r)
+            col += 1
+    assert col == N_EMIT
+    m2p = np.zeros((310, 16), np.float32)
+    for p in range(5):
+        for j in range(24):
+            m2p[p * 62 + j, p] = float(1 << (23 - j))  # syn112
+            m2p[p * 62 + 24 + j, 5 + p] = float(1 << (23 - j))  # syn56
+    return s, sh, m1p, m2p
+
+
+def _align_windows(rows, off, ex_rows):
+    """Rotate + bit-align each candidate's 5x19-word window -> (EX, 55)."""
+    from .demod import WIN_PLANE_WORDS
+
+    s = off & 255
+    wrot = s >> 5
+    sb = s & 31
+    sw_pre = jnp.zeros((ex_rows, 60), jnp.int32)
+    for r in range(8):
+        sl = jnp.concatenate(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )
+        sw_pre = jnp.where(wrot == r, sl, sw_pre)
+    lo = jnp.concatenate(
+        [sw_pre[:, p * 12 : p * 12 + 11] for p in range(5)], axis=1
+    )  # (EX, 55)
+    hi = jnp.concatenate(
+        [sw_pre[:, p * 12 + 1 : p * 12 + 12] for p in range(5)], axis=1
+    )
+    shl = (32 - sb) & 31
+    sw = jax.lax.shift_right_logical(lo, sb) | jnp.where(
+        sb == 0, 0, jnp.left_shift(hi, shl)
+    )
+    return sw, wrot, sb
+
+
+def _corr_lanes(rows, wrot, sb, ex_rows):
+    from .demod import WIN_CORR_BASE
+
+    parts = []
+    for c in range(3):
+        wsel = jnp.zeros((ex_rows, 1), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(
+                wrot == r,
+                rows[:, WIN_CORR_BASE + c * 8 + r : WIN_CORR_BASE + c * 8 + r + 1],
+                wsel,
+            )
+        parts.append(jax.lax.shift_right_logical(wsel, sb) & 1)
+    return jnp.concatenate(parts, axis=1)  # (EX, 3)
+
+
+def _extract_kernel_v2(
+    off_ref, rows_ref, s_ref, sh_ref, m1_ref, m2_ref,
+    tbl_ref, t112_ref, t56_ref, dfd_ref, out_ref,
+):
+    """v2 extract + classify; see the section comment above."""
+    ex = rows_ref.shape[0]
+    rows = rows_ref[:]
+    off = off_ref[:]
+    sw, wrot, sb = _align_windows(rows, off, ex)
+
+    # selection matmuls: exact f32 (split 16-bit halves, one term per col)
+    lo16 = (sw & 0xFFFF).astype(jnp.float32)
+    hi16 = jax.lax.shift_right_logical(sw, 16).astype(jnp.float32)
+    sel = s_ref[:]
+    wlo = jax.lax.dot(lo16, sel, preferred_element_type=jnp.float32)
+    whi = jax.lax.dot(hi16, sel, preferred_element_type=jnp.float32)
+    w560 = wlo.astype(jnp.int32) | (whi.astype(jnp.int32) << 16)
+    bits = (
+        jax.lax.shift_right_logical(w560, jnp.broadcast_to(sh_ref[:], (ex, N_EMIT)))
+        & 1
+    ).astype(jnp.bfloat16)
+
+    counts = jax.lax.dot(
+        bits, m1_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX, 310), exact integers < 256
+    parity = (counts & 1).astype(jnp.bfloat16)
+    syn = jax.lax.dot(
+        parity, m2_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX, 16)
+
+    msg = jnp.concatenate(
+        [counts[:, p * 62 + 48 : p * 62 + 62] for p in range(5)], axis=1
+    )  # (EX, 70)
+    corr = _corr_lanes(rows, wrot, sb, ex)
+
+    # ---- fused gate classification (ops/gate.py score_gate semantics) ------
+    flag_cols = []
+    tbl = tbl_ref[:]  # (1, T) sentinel-padded known addresses
+    t112 = t112_ref[:]  # (1, T112) sentinel-padded syndrome table
+    t56 = t56_ref[:]
+    dfd = dfd_ref[:]  # (1, 128): lanes 0..4 = DF17-fixable deltas,
+    #                   lane 5..9 = the matching df values, lane 10 = nfix>0
+    have_fix = dfd[0, 11] != 0
+    have_tab = dfd[0, 10] != 0
+    for p in range(5):
+        s112 = syn[:, p : p + 1]
+        s56 = syn[:, 5 + p : 6 + p]
+        b0 = counts[:, p * 62 + 48 : p * 62 + 49]
+        df = jax.lax.shift_right_logical(b0, 3)
+        in_t112 = have_tab & jnp.any(s112 == t112, axis=1, keepdims=True)
+        in_t56 = have_tab & jnp.any(s56 == t56, axis=1, keepdims=True)
+        resid = jnp.where(df >= 16, s112, s56) & 0xFFFFFF
+        in_tbl = jnp.any(resid == tbl, axis=1, keepdims=True)
+        fix_ok = jnp.zeros_like(in_t112)
+        for i in range(5):
+            fix_ok |= (df == dfd[0, 5 + i]) & (s112 == dfd[0, i])
+        fix_ok &= have_fix
+        zero7 = jnp.zeros((ex, 1), jnp.int32)
+        for b in range(7):
+            zero7 = zero7 + counts[:, p * 62 + 48 + b : p * 62 + 49 + b]
+        zero7 = zero7 == 0
+        flag_cols.append(
+            in_t112.astype(jnp.int32)
+            | (in_t56.astype(jnp.int32) << 1)
+            | (in_tbl.astype(jnp.int32) << 2)
+            | (fix_ok.astype(jnp.int32) << 3)
+            | (zero7.astype(jnp.int32) << 4)
+        )
+    flags = jnp.concatenate(flag_cols, axis=1)  # (EX, 5)
+
+    out_ref[:] = jnp.concatenate(
+        [syn[:, :10], msg, corr, flags, jnp.zeros((ex, 128 - 88), jnp.int32)],
+        axis=1,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _gate_tables_np(nfix: int, fix_df: bool):
+    """Padded device tables for the fused classifier (sentinel 0x2000000)."""
+    from .gate import _df_delta_np, _table_syndromes_np
+
+    sent = 0x2000000  # > any syndrome/residual
+
+    def padded(a):
+        n = max(128, ((len(a) + 127) // 128) * 128)
+        out = np.full(n, sent, np.int32)
+        out[: len(a)] = a
+        return out
+
+    if nfix > 0:
+        t112 = padded(_table_syndromes_np(112, nfix))
+        t56 = padded(_table_syndromes_np(56, nfix))
+    else:
+        t112 = np.full(128, sent, np.int32)
+        t56 = np.full(128, sent, np.int32)
+    dfd = np.full(128, sent, np.int32)
+    deltas = _df_delta_np()
+    for i, d in enumerate((1, 25, 21, 19, 16)):
+        dfd[i] = int(deltas[d])
+        dfd[5 + i] = d
+    dfd[10] = 1 if nfix > 0 else 0
+    dfd[11] = 1 if (fix_df and nfix > 0) else 0
+    return t112, t56, dfd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfix", "fix_df", "ex_rows", "interpret")
+)
+def extract_classify_pallas(
+    rows: jax.Array,
+    offsets: jax.Array,
+    known_tbl: jax.Array,
+    *,
+    nfix: int = 1,
+    fix_df: bool = True,
+    ex_rows: int = EX2_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """(K,128) win rows + offsets + known-ICAO table -> (K,128) results.
+
+    Lanes 0:5 syn112, 5:10 syn56, 10:80 msg bytes (phase-major), 80:83
+    correlation bits, 83:88 per-phase classifier flags (see section
+    comment).  K must be a multiple of ex_rows.
+    """
+    k = rows.shape[0]
+    assert k % ex_rows == 0, (k, ex_rows)
+    s, sh, m1p, m2p = _extract_v2_mats()
+    t112, t56, dfd = _gate_tables_np(nfix, fix_df)
+    t = known_tbl.shape[0]
+    assert t % 128 == 0, t
+    return pl.pallas_call(
+        _extract_kernel_v2,
+        out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
+        grid=(k // ex_rows,),
+        in_specs=[
+            pl.BlockSpec((ex_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ex_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((55, N_EMIT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_EMIT), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_EMIT, 310), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((310, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t112.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t56.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ex_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        offsets.reshape(k, 1),
+        rows,
+        jnp.asarray(s),
+        jnp.asarray(sh).reshape(1, N_EMIT),
+        jnp.asarray(m1p, dtype=jnp.bfloat16),  # entries <= 128: bf16-exact
+        jnp.asarray(m2p, dtype=jnp.bfloat16),  # powers of two: bf16-exact
+        known_tbl.reshape(1, t),
+        jnp.asarray(t112).reshape(1, -1),
+        jnp.asarray(t56).reshape(1, -1),
+        jnp.asarray(dfd).reshape(1, 128),
+    )
+
+
 def supported() -> bool:
     """True when the native Mosaic path is available (a real TPU backend)."""
     try:

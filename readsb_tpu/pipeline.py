@@ -344,7 +344,8 @@ def _demod_and_gate(
 
     buf = jnp.concatenate([overlap, mag])
     bc, cs_hi, cs_lo = demod_ops._demod_core(
-        buf, threshold, k=k, scan_len=scan_len, l=l
+        buf, threshold, k=k, scan_len=scan_len, l=l,
+        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -377,7 +378,8 @@ def _demod_and_gate_raw(
 
     buf = jnp.concatenate([overlap_words, words])
     bc, cs_hi, cs_lo = demod_ops._demod_core(
-        buf, threshold, k=k, scan_len=scan_len, l=l, raw_uc8=True
+        buf, threshold, k=k, scan_len=scan_len, l=l, raw_uc8=True,
+        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -411,6 +413,7 @@ def _demod_and_gate_multi_raw(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid, raw_uc8=True,
+        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -607,6 +610,7 @@ def _demod_and_gate_multi(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid,
+        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
