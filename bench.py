@@ -184,4 +184,5 @@ def run():
         mark("skipping e2e extras (wall budget)")
 
 
-run()
+if __name__ == "__main__":
+    run()

@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
     # --- net
     p.add_argument("--net", action="store_true", help="enable networking")
     p.add_argument("--net-only", action="store_true", help="no SDR, network input only")
+    p.add_argument(
+        "--net-bulk-drain", action="store_true",
+        help="columnar aggregator ingest: drain network frames through the "
+             "batch accept stage + BulkTracker (the decodePool analog, "
+             "net_io.c:5365-5474); needs --lat/--lon; the dict tracker "
+             "becomes a serving view refreshed each tick",
+    )
     p.add_argument("--net-ri-port", type=_ports, default=[], help="raw input listen port")
     p.add_argument("--net-ro-port", type=_ports, default=[], help="raw output listen port")
     p.add_argument("--net-bi-port", type=_ports, default=[], help="beast input listen port")

@@ -62,6 +62,11 @@ class App:
         self.net = NetEngine()
         self._net_queue = []
         self._shared_net_scorer = None
+        self.bulk = None
+        if getattr(args, "net_bulk_drain", False):
+            from .bulk_drain import make_bulk
+
+            self.bulk = make_bulk(self)
         self.epoch_ms = int(time.time() * 1000)
         self.messages = 0
         self.remote_modes = 0
@@ -818,6 +823,11 @@ class App:
         if not q:
             return
         self._net_queue = []
+        if self.bulk is not None:
+            from .bulk_drain import drain_bulk
+
+            drain_bulk(self, q)
+            return
         _net_t0 = time.perf_counter()
         import numpy as np
 
@@ -886,6 +896,10 @@ class App:
             _bg_t0 = time.perf_counter()
             self.drain_net_queue()
             now = self.now_ms()
+            if self.bulk is not None:
+                from .bulk_drain import materialize
+
+                materialize(self, now)
             self.stats_collector.sample(self, now / 1000.0)
             if getattr(self, "api_server", None) is not None:
                 # double-buffered query snapshot swap (apiUpdate, api.c:859)
@@ -1406,6 +1420,10 @@ class App:
                 await asyncio.sleep(self.args.api_shutdown_delay)
             periodic.cancel()
             self.drain_net_queue()
+            if self.bulk is not None:
+                from .bulk_drain import materialize
+
+                materialize(self, self.now_ms())
             if self.args.json_globe_index and self.args.write_json:
                 # flush dirty traces so short runs / clean exits leave
                 # complete trace files (the reference's exit sweep)

@@ -77,7 +77,10 @@ def _ac13_to_alt(ac13: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_columns(
-    msgs: np.ndarray, timestamps: np.ndarray, addrs: np.ndarray | None = None
+    msgs: np.ndarray,
+    timestamps: np.ndarray,
+    addrs: np.ndarray | None = None,
+    corrected: np.ndarray | None = None,
 ) -> dict:
     """Decode (N, 14) uint8 frames -> columnar fields.
 
@@ -114,6 +117,17 @@ def decode_columns(
         "track": np.zeros(n),
         "squawk_valid": np.zeros(n, bool),
         "squawk": np.zeros(n, np.int64),
+        "baro_rate_valid": np.zeros(n, bool),
+        "baro_rate": np.zeros(n, np.int64),
+        "geom_rate_valid": np.zeros(n, bool),
+        "geom_rate": np.zeros(n, np.int64),
+        "alt_q": np.zeros(n, bool),  # AC12/AC13 q bit (updateAltitude guard)
+        # crc == 0 (updateAltitude implicit-trust rule): clean DF17/18 only;
+        # other DFs carry a nonzero residual/IID by construction.  With no
+        # corrected-bits column the frames are assumed clean (None default
+        # = pre-validated feeds).
+        "crc_zero": ((df == 17) | (df == 18))
+        & (np.ones(n, bool) if corrected is None else np.asarray(corrected) == 0),
         "callsign_valid": np.zeros(n, bool),
         "callsign": np.zeros((n, 8), np.uint8),
     }
@@ -168,6 +182,7 @@ def decode_columns(
     not_ground = ag != int(AirGround.GROUND)
     out["alt_valid"] |= baro & alt_ok & not_ground
     out["alt"] = np.where(baro & alt_ok & not_ground, alt_q, out["alt"])
+    out["alt_q"] |= baro & alt_ok & not_ground & ((ac12 & 0x10) != 0)
 
     # --- surface position --------------------------------------------------
     surf = es & (metype >= 5) & (metype <= 8)
@@ -197,6 +212,17 @@ def decode_columns(
     out["track_valid"] |= tr_ok
     out["track"] = np.where(tr_ok, trk, out["track"])
 
+    # vertical rates (fields.py: VR bits 38-46, sign 37, baro/geom select 36)
+    sub_ok = vel & (mesub >= 1) & (mesub <= 4)
+    vr = _me_bits(msgs, 38, 46)
+    rate = (vr - 1) * np.where(_me_bits(msgs, 37, 37) != 0, -64, 64)
+    vr_ok = sub_ok & (vr != 0)
+    is_baro = _me_bits(msgs, 36, 36) != 0
+    out["baro_rate_valid"] |= vr_ok & is_baro
+    out["baro_rate"] = np.where(vr_ok & is_baro, rate, out["baro_rate"])
+    out["geom_rate_valid"] |= vr_ok & ~is_baro
+    out["geom_rate"] = np.where(vr_ok & ~is_baro, rate, out["geom_rate"])
+
     # --- ident -------------------------------------------------------------
     ident = es & (metype >= 1) & (metype <= 4)
     if ident.any():
@@ -215,6 +241,7 @@ def decode_columns(
     alt13, ok13 = _ac13_to_alt(ac13)
     out["alt_valid"] |= alt_reply & ok13
     out["alt"] = np.where(alt_reply & ok13, alt13, out["alt"])
+    out["alt_q"] |= alt_reply & ok13 & ((ac13 & 0x0010) != 0)
 
     id_reply = (df == 5) | (df == 21)
     # Gillham interleave -> 4 octal digits (decode_id13, mode_s.c:83)

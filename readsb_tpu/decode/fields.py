@@ -684,6 +684,17 @@ def decode_frame(frame: RawFrame, epoch_ms: int = 0) -> ModesMessage:
     )
     mt = mm.msgtype
 
+    # mm.crc semantics (mode_s.c:455-470): DF11/17/18 carry the syndrome
+    # (zero iff the frame checked clean; the exact pre-fix syndrome is not
+    # retained here — only crc == 0 is consumed, by updateAltitude's
+    # implicit-trust rule); DF0/4/5/16/20/21 carry the residual (= address)
+    if mt in (17, 18):
+        mm.crc = 0 if frame.correctedbits == 0 else 1
+    elif mt == 11:
+        mm.crc = frame.iid if frame.correctedbits == 0 else 1
+    else:
+        mm.crc = frame.addr & 0xFFFFFF
+
     # source/addrtype by DF (CRC stage already validated acceptance)
     if mt in (0, 4, 5, 16, 20, 21) or 24 <= mt <= 31:
         mm.source = Source.MODE_S

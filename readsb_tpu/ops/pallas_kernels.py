@@ -330,6 +330,7 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(threshold, jnp.int32).reshape(1),
@@ -392,6 +393,7 @@ def dense_scan_uc8_pallas(
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.asarray(threshold, jnp.int32).reshape(1),
@@ -545,6 +547,7 @@ def extract_syndromes_pallas(
             pl.BlockSpec((320, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((EX_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         offsets.reshape(k, 1),
@@ -689,14 +692,15 @@ def _extract_kernel_v2(
     corr = _corr_lanes(rows, wrot, sb, ex)
 
     # ---- fused gate classification (ops/gate.py score_gate semantics) ------
+    # dfd_ref lives in SMEM: Mosaic supports scalar reads there only
+    # (indices 0..4 = DF17-fixable deltas, 5..9 = matching df values,
+    # 10 = nfix>0, 11 = fix_df enabled)
     flag_cols = []
     tbl = tbl_ref[:]  # (1, T) sentinel-padded known addresses
     t112 = t112_ref[:]  # (1, T112) sentinel-padded syndrome table
     t56 = t56_ref[:]
-    dfd = dfd_ref[:]  # (1, 128): lanes 0..4 = DF17-fixable deltas,
-    #                   lane 5..9 = the matching df values, lane 10 = nfix>0
-    have_fix = dfd[0, 11] != 0
-    have_tab = dfd[0, 10] != 0
+    have_fix = dfd_ref[11] != 0
+    have_tab = dfd_ref[10] != 0
     for p in range(5):
         s112 = syn[:, p : p + 1]
         s56 = syn[:, 5 + p : 6 + p]
@@ -708,7 +712,7 @@ def _extract_kernel_v2(
         in_tbl = jnp.any(resid == tbl, axis=1, keepdims=True)
         fix_ok = jnp.zeros_like(in_t112)
         for i in range(5):
-            fix_ok |= (df == dfd[0, 5 + i]) & (s112 == dfd[0, i])
+            fix_ok |= (df == dfd_ref[5 + i]) & (s112 == dfd_ref[i])
         fix_ok &= have_fix
         zero7 = jnp.zeros((ex, 1), jnp.int32)
         for b in range(7):
@@ -797,11 +801,14 @@ def extract_classify_pallas(
             pl.BlockSpec((1, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t112.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t56.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (ex_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        # the 1024-row step peaks ~40 MB of scoped VMEM (v5e has 128 MB);
+        # the default 16 MB scope is a compile-time limit, not hardware
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         offsets.reshape(k, 1),
@@ -813,7 +820,7 @@ def extract_classify_pallas(
         known_tbl.reshape(1, t),
         jnp.asarray(t112).reshape(1, -1),
         jnp.asarray(t56).reshape(1, -1),
-        jnp.asarray(dfd).reshape(1, 128),
+        jnp.asarray(dfd[:16]),
     )
 
 

@@ -203,6 +203,16 @@ class _Cols:
         self.alt = z(cap, np.int64)
         self.alt_ts = np.full(cap, -(1 << 60), np.int64)
         self.alt_src = np.full(cap, _INVALID, np.int64)
+        self.alt_reliable = z(cap, np.int64)  # updateAltitude score (track.c:1709)
+        for f in ("baro_rate", "geom_rate"):
+            setattr(self, f, z(cap, np.int64))
+            setattr(self, f + "_ts", np.full(cap, -(1 << 60), np.int64))
+            setattr(self, f + "_src", np.full(cap, _INVALID, np.int64))
+        # squawk + double-confirmation tentative (track.c:2071-2092); -1 = unset
+        self.squawk = np.full(cap, -1, np.int64)
+        self.squawk_ts = np.full(cap, -(1 << 60), np.int64)
+        self.squawk_src = np.full(cap, _INVALID, np.int64)
+        self.squawk_tent = np.full(cap, -1, np.int64)
         self.cs = z((cap, 8), np.uint8)
         self.cs_ts = np.full(cap, -(1 << 60), np.int64)
         self.cs_src = np.full(cap, _INVALID, np.int64)
@@ -258,6 +268,8 @@ class _Cols:
                     nv[:] = -(1 << 60)
                 if k.endswith("_src") or k in ("pv_src", "pv_last"):
                     nv[:] = _INVALID
+                if k in ("squawk", "squawk_tent"):
+                    nv[:] = -1
                 nv[:old] = v
                 self.__dict__[k] = nv
         self.cap = newcap
@@ -363,7 +375,11 @@ class BulkTracker:
 
         accept("gs", mc["gs_valid"][rows], mc["gs"][rows])
         accept("track", mc["track_valid"][rows], mc["track"][rows])
-        accept("alt", mc["alt_valid"][rows], mc["alt"][rows])
+        self._alt_update(rows, s, mc)
+        if "baro_rate_valid" in mc:
+            accept("baro_rate", mc["baro_rate_valid"][rows], mc["baro_rate"][rows])
+            accept("geom_rate", mc["geom_rate_valid"][rows], mc["geom_rate"][rows])
+        self._squawk_update(rows, s, mc)
         ag = mc.get("airground")
         if ag is not None:
             agr = ag[rows]
@@ -386,6 +402,129 @@ class BulkTracker:
         pos = mc["cpr_valid"][rows]
         if pos.any():
             self._positions(rows[pos], s[pos], mc)
+
+    def _alt_update(self, rows, s, mc):
+        """Columnar updateAltitude (track.c:1709-1813), mirroring
+        tracker._update_altitude row-for-row (one message per slot per
+        round, so the serial logic vectorizes directly).  The modeC_hit
+        reset and aggregator score tweaks are out of bulk scope."""
+        c = self.cols
+        valid = mc["alt_valid"][rows]
+        if not valid.any():
+            return
+        rows = rows[valid]
+        s = s[valid]
+        now = mc["ts"][rows]
+        src = mc["source"][rows]
+        psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
+        alt = mc["alt"][rows]
+        q_bit = mc["alt_q"][rows] if "alt_q" in mc else np.zeros(len(rows), bool)
+        old = c.alt[s]
+        never = c.alt_src[s] == _INVALID  # dict baro_alt None -> old 0
+        old = np.where(never, 0, old)
+
+        delta = alt - old
+        big = np.abs(delta) >= 300
+        age_alt = np.maximum(0, now - c.alt_ts[s])
+        # C trunc division (values fit f64 exactly at these magnitudes)
+        fpm = np.fix(delta * 600 / (np.abs(np.fix(age_alt / 100)) + 10)).astype(
+            np.int64
+        )
+        fpm = np.where(big, fpm, 0)
+
+        def vcol(name):
+            return (getattr(c, name + "_src")[s] != _INVALID) & (
+                now < getattr(c, name + "_ts")[s] + TRACK_EXPIRE
+            )
+
+        age_gr = np.maximum(0, now - c.geom_rate_ts[s])
+        age_br = np.maximum(0, now - c.baro_rate_ts[s])
+        use_gr = vcol("geom_rate") & (age_gr < age_br)
+        use_br = ~use_gr & vcol("baro_rate")
+        slack_gr = 1500 + np.minimum(11000, age_gr // 2)
+        slack_br = 1500 + np.minimum(11000, age_br // 2)
+        min_fpm = np.where(
+            use_gr, c.geom_rate[s] - slack_gr,
+            np.where(use_br, c.baro_rate[s] - slack_br, -12500),
+        )
+        max_fpm = np.where(
+            use_gr, c.geom_rate[s] + slack_gr,
+            np.where(use_br, c.baro_rate[s] + slack_br, 12500),
+        )
+        # reliability decay on big jumps
+        alt_fresh = vcol("alt") & (age_alt < 30 * SECONDS)
+        decayed = np.where(
+            alt_fresh,
+            np.minimum(20 - 20 * age_alt // (30 * SECONDS), c.alt_reliable[s]),
+            0,
+        )
+        c.alt_reliable[s] = np.where(big, decayed, c.alt_reliable[s])
+
+        rel = c.alt_reliable[s]
+        # implicit-trust scores (track.c:1746-1753): clean-CRC high-priority
+        # sources rate max reliable; MLAT rates half
+        crc0 = (
+            mc["crc_zero"][rows]
+            if "crc_zero" in mc
+            else np.zeros(len(rows), bool)
+        )
+        good_crc = np.where(
+            crc0 & ((src >= int(Source.JAERO)) | (src == int(Source.SBS))), 20, 0
+        ).astype(np.int64)
+        good_crc = np.where(src == int(Source.MLAT), 9, good_crc)
+        qbad = (old > 50175) & q_bit & (rel > 5)
+        accept_m = ~qbad & (
+            (good_crc >= rel)
+            | (src > c.alt_src[s])
+            | (rel <= 0)
+            | (np.abs(delta) < 300)
+            | ((fpm > min_fpm) & (fpm < max_fpm))
+        )
+        discard_m = ~qbad & ~accept_m
+        c.alt_reliable[s[qbad]] -= 1
+        c.alt_reliable[s[discard_m]] -= good_crc[discard_m] + 1
+
+        latt = accept_m & self._accept_cols(c.alt_ts, c.alt_src, s, src, now)
+        i = s[latt]
+        c.alt_reliable[i] = np.maximum(
+            0, np.minimum(20, rel[latt] + good_crc[latt] + 1)
+        )
+        c.alt[i] = alt[latt]
+        c.alt_ts[i] = now[latt]
+        c.alt_src[i] = psrc[latt]
+
+    def _squawk_update(self, rows, s, mc):
+        """Columnar squawk double-confirmation (track.c:2071-2092)."""
+        c = self.cols
+        valid = mc["squawk_valid"][rows]
+        if not valid.any():
+            return
+        rows = rows[valid]
+        s = s[valid]
+        now = mc["ts"][rows]
+        src = mc["source"][rows]
+        psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
+        sq = mc["squawk"][rows]
+        df = mc["df"][rows]
+        cur = c.squawk[s]
+        tent = c.squawk_tent[s]
+        acc = self._accept_cols(c.squawk_ts, c.squawk_src, s, src, now)
+
+        match = (cur == sq) | (tent == sq)
+        m1 = match & acc
+        i = s[m1]
+        c.squawk[i] = sq[m1]
+        c.squawk_tent[i] = -1
+        c.squawk_ts[i] = now[m1]
+        c.squawk_src[i] = psrc[m1]
+
+        m2 = ~match
+        c.squawk_tent[s[m2]] = sq[m2]
+        seed = m2 & (cur == -1) & ((df == 5) | (df == 21)) & acc
+        i = s[seed]
+        c.squawk[i] = sq[seed]
+        c.squawk_ts[i] = now[seed]
+        c.squawk_src[i] = psrc[seed]
 
     # ------------------------------------------------------------------
 

@@ -241,6 +241,7 @@ class Aircraft:
 
     # core kinematics
     baro_alt: Optional[int] = None
+    alt_reliable: int = 0  # altitude plausibility score (track.c:1709-1813)
     baro_alt_valid: Validity = dataclasses.field(default_factory=Validity)
     geom_alt: Optional[int] = None
     geom_alt_valid: Validity = dataclasses.field(default_factory=Validity)
@@ -455,6 +456,74 @@ class Tracker:
         v.updated = now
         return True
 
+    def _update_altitude(self, a: Aircraft, mm: ModesMessage, src: Source, now: int) -> None:
+        """Baro-altitude outlier rejection (updateAltitude, track.c:1709-1813).
+
+        A per-aircraft reliability score (0..20) gates large altitude jumps
+        against an implied-fpm window derived from the known vertical rate;
+        implausible jumps decay the score instead of updating the field.
+        (The reference's netReceiverId and mlat-server score tweaks at
+        track.c:1777-1787 depend on aggregator receiver counts and are not
+        reproduced.)
+        """
+        RELIABLE_MAX = 20  # ALTITUDE_BARO_RELIABLE_MAX, track.h:65
+        alt = mm.baro_alt
+        old = a.baro_alt if a.baro_alt is not None else 0
+        if a.modec_hit:
+            # C trunc-toward-zero division (track.c:1712-1717)
+            if int((old + 49) / 100) != int((alt + 49) / 100):
+                a.modec_hit = False
+
+        delta = alt - old
+        fpm = 0
+        max_fpm, min_fpm = 12500, -12500
+        if abs(delta) >= 300:
+            age_alt = a.baro_alt_valid.age(now)
+            fpm = int(delta * 600 / (abs(int(age_alt / 100)) + 10))
+            gr_ok = a.geom_rate_valid.valid(now)
+            if gr_ok and a.geom_rate_valid.age(now) < a.baro_rate_valid.age(now):
+                slack = 1500 + min(11000, int(a.geom_rate_valid.age(now) / 2))
+                min_fpm = a.geom_rate - slack
+                max_fpm = a.geom_rate + slack
+            elif a.baro_rate_valid.valid(now):
+                slack = 1500 + min(11000, int(a.baro_rate_valid.age(now) / 2))
+                min_fpm = a.baro_rate - slack
+                max_fpm = a.baro_rate + slack
+            if a.baro_alt_valid.valid(now) and a.baro_alt_valid.age(now) < 30 * SECONDS:
+                a.alt_reliable = min(
+                    RELIABLE_MAX
+                    - RELIABLE_MAX * a.baro_alt_valid.age(now) // (30 * SECONDS),
+                    a.alt_reliable,
+                )
+            else:
+                a.alt_reliable = 0
+
+        good_crc = 0
+        if mm.crc == 0 and (src >= Source.JAERO or src == Source.SBS):
+            good_crc = RELIABLE_MAX
+        if src == Source.MLAT:
+            good_crc = RELIABLE_MAX // 2 - 1
+        if old > 50175 and mm.alt_q_bit and a.alt_reliable > RELIABLE_MAX // 4:
+            # q-bit encoding tops out: high-altitude q=1 reads are bogus
+            a.alt_reliable -= 1
+            return
+
+        accept = (
+            good_crc >= a.alt_reliable
+            or src > a.baro_alt_valid.source
+            or a.alt_reliable <= 0
+            or abs(delta) < 300
+            or (min_fpm < fpm < max_fpm)
+        )
+        if not accept:
+            a.alt_reliable -= good_crc + 1
+            return
+        if self._accept(a, a.baro_alt_valid, src, now):
+            a.alt_reliable = min(RELIABLE_MAX, a.alt_reliable + good_crc + 1)
+            if a.alt_reliable < 0:
+                a.alt_reliable = 0
+            a.baro_alt = alt
+
     # ------------------------------------------------------------------
 
     def update(self, mm: ModesMessage) -> Optional[Aircraft]:
@@ -507,8 +576,8 @@ class Tracker:
                 mm.sil_type = SilType.UNKNOWN
 
         # --- altitude ----------------------------------------------------
-        if mm.baro_alt is not None and self._accept(a, a.baro_alt_valid, src, now):
-            a.baro_alt = mm.baro_alt
+        if mm.baro_alt is not None:
+            self._update_altitude(a, mm, src, now)
         if mm.geom_alt is not None and self._accept(a, a.geom_alt_valid, src, now):
             a.geom_alt = mm.geom_alt
         if mm.geom_delta is not None and self._accept(a, a.geom_delta_valid, src, now):

@@ -41,14 +41,16 @@ def _run_bulk(frames, chunk=150):
     msgs = np.zeros((len(frames), 14), np.uint8)
     ts = np.zeros(len(frames), np.int64)
     addrs = np.zeros(len(frames), np.int64)
+    corrected = np.zeros(len(frames), np.int64)
     for i, f in enumerate(frames):
         b = f.msg
         msgs[i, : len(b)] = np.frombuffer(b, np.uint8)
         ts[i] = f.timestamp // 12000  # decode_frame's sys clock
         addrs[i] = f.addr
+        corrected[i] = f.correctedbits
     bulk = BulkTracker(LAT, LON)
     for a in range(0, len(frames), chunk):
-        cols = decode_columns(msgs[a : a + chunk], ts[a : a + chunk], addrs[a : a + chunk])
+        cols = decode_columns(msgs[a : a + chunk], ts[a : a + chunk], addrs[a : a + chunk], corrected[a : a + chunk])
         bulk.update_batch(cols)
     return bulk
 
@@ -97,7 +99,104 @@ def test_bulk_equivalence(replay):
             assert c.track[i] == a.track
         if a.baro_alt_valid.source and isinstance(a.baro_alt, int):
             assert c.alt[i] == a.baro_alt
+            assert c.alt_reliable[i] == a.alt_reliable, hex(addr)
+        if a.baro_rate_valid.source:
+            assert c.baro_rate[i] == a.baro_rate
+        if a.geom_rate_valid.source:
+            assert c.geom_rate[i] == a.geom_rate
+        # squawk double-confirmation state (track.c:2071-2092)
+        assert c.squawk[i] == (a.squawk if a.squawk is not None else -1), hex(addr)
+        assert c.squawk_tent[i] == (
+            a.squawk_tentative if a.squawk_tentative is not None else -1
+        ), hex(addr)
         if a.callsign_valid.source and a.callsign:
             got = bytes(c.cs[i]).decode("latin1").rstrip("\x00")
             assert got == a.callsign, (got, a.callsign)
     assert n_pos >= 3  # the chain actually decoded positions
+
+
+def _mkframe(msg: bytes, ts_ms: int, addr: int):
+    from readsb_tpu.decode.score import RawFrame
+
+    return RawFrame(
+        msg=msg, msgbits=len(msg) * 8, timestamp=ts_ms * 12000, score=0,
+        phase=0, correctedbits=0, addr=addr, signal_power=1.0, iid=0,
+    )
+
+
+def test_bulk_altitude_outliers_and_squawk(tmp_path):
+    """Adversarial stream: altitude excursions, rate context, squawk churn.
+
+    Checks (a) dict tracker == bulk tracker on every touched column and
+    (b) the outlier logic actually rejects an implausible jump
+    (updateAltitude, track.c:1709) while the squawk double-confirmation
+    (track.c:2071) delays a changed code until its second sighting.
+    """
+    from tools.synth import (
+        encode_df4,
+        encode_df5,
+        encode_df17_position,
+        encode_df17_velocity,
+    )
+
+    addr = 0x4A0001
+    frames = []
+    t = 1_000
+    alt = 10_000.0
+    # build reliability: steady climbs at 1000 fpm with known baro rate
+    for i in range(25):
+        frames.append(_mkframe(encode_df17_velocity(addr, 250, 90, 1000), t, addr))
+        t += 100
+        frames.append(
+            _mkframe(encode_df17_position(addr, 47.0 + i * 1e-4, 8.0, alt, i & 1), t, addr)
+        )
+        t += 900
+        alt += 1000 / 60 * 1.0  # 1 s at 1000 fpm
+    # implausible jump: +25000 ft in one second (fpm way out of window)
+    frames.append(_mkframe(encode_df17_position(addr, 47.01, 8.0, alt + 25000, 0), t, addr))
+    t += 1000
+    # normal again
+    frames.append(_mkframe(encode_df17_position(addr, 47.011, 8.0, alt + 50, 1), t, addr))
+    t += 1000
+    # DF4 (MODE_S source, lower priority) with a bogus altitude: must not
+    # override the reliable ADS-B altitude
+    frames.append(_mkframe(encode_df4(addr, 1_000), t, addr))
+    t += 500
+    # squawk: seed via DF5, then change (tentative), then confirm
+    frames.append(_mkframe(encode_df5(addr, 0x1200), t, addr)); t += 500
+    frames.append(_mkframe(encode_df5(addr, 0x7700), t, addr)); t += 500
+    mid_frames = list(frames)
+    frames.append(_mkframe(encode_df5(addr, 0x7700), t, addr)); t += 500
+
+    def both(fr):
+        return _run_oracle(fr), _run_bulk(fr, chunk=7)
+
+    tr_mid, bulk_mid = both(mid_frames)
+    a = tr_mid.aircraft[addr]
+    i = int(np.nonzero(bulk_mid.cols.addr[: bulk_mid.n_slots] == addr)[0][0])
+    # changed squawk is tentative only after first sighting
+    assert a.squawk == 0x1200 and a.squawk_tentative == 0x7700
+    assert bulk_mid.cols.squawk[i] == 0x1200
+    assert bulk_mid.cols.squawk_tent[i] == 0x7700
+
+    tr, bulk = both(frames)
+    a = tr.aircraft[addr]
+    i = int(np.nonzero(bulk.cols.addr[: bulk.n_slots] == addr)[0][0])
+    # outlier rejected: altitude never took the +25000 excursion, and the
+    # plausible follow-up was accepted
+    assert abs(a.baro_alt - (alt + 50)) < 100, a.baro_alt
+    # DF4 bogus altitude rejected by reliability (not by source priority:
+    # MODE_S < ADSB takes the stale-window path, then the fpm window)
+    assert a.baro_alt > 9000
+    # confirmed squawk
+    assert a.squawk == 0x7700 and a.squawk_tentative is None
+
+    # full dict == bulk equality on the touched columns
+    c = bulk.cols
+    assert c.alt[i] == a.baro_alt
+    assert c.alt_reliable[i] == a.alt_reliable
+    assert c.alt_ts[i] == a.baro_alt_valid.updated
+    assert c.baro_rate[i] == a.baro_rate
+    assert c.squawk[i] == a.squawk
+    assert c.squawk_tent[i] == -1
+    assert c.gs[i] == a.gs
