@@ -63,6 +63,7 @@ class App:
         self._net_queue = []
         self._shared_net_scorer = None
         self.bulk = None
+        self._net_cols_queue: list = []
         if getattr(args, "net_bulk_drain", False):
             from .bulk_drain import make_bulk
 
@@ -533,7 +534,13 @@ class App:
 
         class BeastIn(InputConnection):
             def __init__(self):
-                self.deframer = beast_io.BeastDeframer()
+                # bulk mode: native columnar deframer (readBeast analog)
+                # feeding column batches straight to the columnar drain
+                self.cols_mode = app.bulk is not None
+                self.deframer = (
+                    beast_io.ColumnarDeframer() if self.cols_mode
+                    else beast_io.BeastDeframer()
+                )
                 self.scorer = app._net_scorer()
                 self.ping_state = None  # set by InputService when ping=True
 
@@ -564,6 +571,34 @@ class App:
                                 pass
 
             async def feed(self, data: bytes) -> None:
+                if self.cols_mode:
+                    batch = self.deframer.feed(data)
+                    if batch is not None:
+                        # Mode A/C ('1') frames are rare: per-message path
+                        ac = batch["mlen"] == 2
+                        if ac.any():
+                            from ..decode.mode_ac import decode_modeac_message
+
+                            for i in ac.nonzero()[0]:
+                                code = (int(batch["msgs"][i][0]) << 8) | int(
+                                    batch["msgs"][i][1]
+                                )
+                                mm = decode_modeac_message(
+                                    code, timestamp=int(batch["ts"][i])
+                                )
+                                mm.sys_timestamp_ms = (
+                                    int(batch["synth"][i]) or app.now_ms()
+                                )
+                                mm.remote = True
+                                mm.receiver_id = int(batch["rid"][i])
+                                app.handle_message(
+                                    mm, raw_ts=int(batch["ts"][i])
+                                )
+                        app._net_cols_queue.append(batch)
+                        if sum(len(b["ts"]) for b in app._net_cols_queue) >= 8192:
+                            app.drain_net_queue()
+                    self._drain_controls()
+                    return
                 for bf in self.deframer.feed(data):
                     if len(bf.msg) == 2:  # Beast type '1': Mode A/C
                         from ..decode.mode_ac import decode_modeac_message
@@ -820,13 +855,17 @@ class App:
     def drain_net_queue(self) -> None:
         """Batched CRC + serial accept/track for all queued net frames."""
         q = self._net_queue
-        if not q:
+        if not q and not self._net_cols_queue:
             return
         self._net_queue = []
         if self.bulk is not None:
-            from .bulk_drain import drain_bulk
+            from .bulk_drain import drain_bulk, drain_cols
 
-            drain_bulk(self, q)
+            if q:
+                drain_bulk(self, q)
+            if self._net_cols_queue:
+                batches, self._net_cols_queue = self._net_cols_queue, []
+                drain_cols(self, batches)
             return
         _net_t0 = time.perf_counter()
         import numpy as np

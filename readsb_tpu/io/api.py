@@ -145,6 +145,7 @@ class ApiServer:
         self._last_update = 0.0
         # --api-shutdown-delay: existing queries drain, new ones get 503
         self.draining = False
+        self.request_count = 0  # readsb_api_request_count (stats.c:798)
 
     async def listen(self, port: int, host: str = "0.0.0.0") -> None:
         self.server = await asyncio.start_server(self.handle, host, port)
@@ -198,6 +199,7 @@ class ApiServer:
     # ------------------------------------------------------------------
 
     def respond(self, target: str) -> tuple[bytes, str, str]:
+        self.request_count += 1
         t0 = time.perf_counter()
         split = urlsplit(target)
         qs = split.query or (

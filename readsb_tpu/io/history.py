@@ -48,6 +48,9 @@ def _atomic_write(path: str, data: bytes) -> None:
 # ---------------------------------------------------------------------------
 
 
+TRACE_WRITES = {"recent": 0, "full": 0, "perm": 0, "cycle_ms": 0}
+
+
 def write_traces(tracker: Tracker, outdir: str, now: int,
                  full_interval_ms: int = 60 * SECONDS,
                  time_budget_s: float | None = 0.05,
@@ -103,12 +106,14 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
                 os.path.join(shard, f"trace_recent_{hexid}.json"),
                 gzip.compress(json.dumps(doc, separators=(",", ":")).encode(), 5),
             )
+            TRACE_WRITES["recent"] += 1
         if not hist_only & 2:
             doc_full = trace_json(a, states, now)
             _atomic_write(
                 os.path.join(shard, f"trace_full_{hexid}.json"),
                 gzip.compress(json.dumps(doc_full, separators=(",", ":")).encode(), 5),
             )
+            TRACE_WRITES["full"] += 1
         written += 1
     return written, new_cursor
 

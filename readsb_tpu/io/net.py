@@ -118,6 +118,7 @@ class OutputService:
     def send(self, data: bytes) -> None:
         if not self.clients:
             return
+        NetEngine.count_out(len(data) * len(self.clients))
         self._buf += data
         if len(self._buf) >= self.flush_bytes:
             self.flush()
@@ -321,6 +322,7 @@ class InputService:
                             data = data[nl + 2 :]
                             if not data:
                                 continue
+                NetEngine.count_in(len(data))
                 await conn.feed(data)
         except Exception as e:
             log.debug("%s: feeder %s error: %s", self.name, peer, e)
@@ -386,6 +388,7 @@ class Connector:
                         if not data:
                             break
                         if conn:
+                            NetEngine.count_in(len(data))
                             await conn.feed(data)
                 finally:
                     if self.output is not None:
@@ -405,6 +408,22 @@ class NetEngine:
         self.servers: list[asyncio.AbstractServer] = []
         self.tasks: list[asyncio.Task] = []
         self.connectors: list[Connector] = []
+        # cumulative wire accounting (stats.h network_bytes_in/out)
+        self.bytes_in = 0
+        self.bytes_out = 0
+        NetEngine._current = self
+
+    _current = None
+
+    @classmethod
+    def count_in(cls, n: int) -> None:
+        if cls._current is not None:
+            cls._current.bytes_in += n
+
+    @classmethod
+    def count_out(cls, n: int) -> None:
+        if cls._current is not None:
+            cls._current.bytes_out += n
 
     def add_output(self, name: str, **kw) -> OutputService:
         svc = self.outputs.setdefault(name, OutputService(name, **kw))

@@ -123,20 +123,115 @@ def _aircraft_from_dict(d: dict) -> Aircraft:
     return a
 
 
+STATE_MAGIC_V2 = b"readsb-tpu-state-v2"
+
+_SENTINEL = object()
+_DEF = None  # default Aircraft field template, built lazily
+_NEVER = -(1 << 60)
+
+
+def _pack_aircraft(a: Aircraft) -> dict:
+    """Sparse state dict: only fields that differ from a fresh Aircraft.
+
+    Untouched Validity clocks (the ~45 per-field timers, most of them
+    never set on a typical aircraft) are detected by two attribute loads
+    instead of a dataclass __eq__, which dominates a naive diff at
+    aggregator fleet sizes."""
+    global _DEF
+    if _DEF is None:
+        _DEF = dict(Aircraft(addr=0).__dict__)
+    d = {}
+    for k, v in a.__dict__.items():
+        t = type(v)
+        if t is Validity:
+            if v.updated != _NEVER or v.source:
+                d[k] = v
+        elif t is CprPair:
+            if v.valid.updated != _NEVER or v.lat or v.lon:
+                d[k] = v
+        elif _DEF.get(k, _SENTINEL) != v:
+            d[k] = v
+    return d
+
+
+_IMMUT = None
+_MUT_KEYS = None
+
+
+def _fresh_validity() -> Validity:
+    v = object.__new__(Validity)
+    v.updated = _NEVER
+    v.source = Source.INVALID
+    v.last_source = Source.INVALID
+    return v
+
+
+def _unpack_aircraft(d: dict) -> Aircraft:
+    """Reconstruct without running the dataclass __init__ (whose ~45
+    default-factory Validity constructions dominate a 100k-aircraft
+    load); immutable defaults are shared, mutable ones built fresh."""
+    global _IMMUT, _MUT_KEYS, _DEF
+    if _IMMUT is None:
+        if _DEF is None:
+            _DEF = dict(Aircraft(addr=0).__dict__)
+        _IMMUT = {
+            k: v for k, v in _DEF.items()
+            if isinstance(v, (int, float, str, bytes, bool, type(None)))
+            or isinstance(v, (Source, AddrType, AirGround, HeadingType))
+        }
+        _MUT_KEYS = [
+            (k, type(v)) for k, v in _DEF.items() if k not in _IMMUT
+        ]
+    a = object.__new__(Aircraft)
+    ad = dict(_IMMUT)
+    for k, t in _MUT_KEYS:
+        if k not in d:
+            if t is Validity:
+                ad[k] = _fresh_validity()
+            elif t is CprPair:
+                ad[k] = CprPair()
+            elif t is list:
+                ad[k] = []
+            elif t is dict:
+                ad[k] = {}
+            else:
+                ad[k] = None if _DEF[k] is None else type(_DEF[k])()
+    ad.update(d)
+    a.__dict__ = ad
+    return a
+
+
 def save_blob(tracker: Tracker, directory: str, blob: int) -> int:
-    """Write one round-robin blob (aircraft with addr % STATE_BLOBS == blob)."""
+    """Write one round-robin blob (aircraft with addr % STATE_BLOBS == blob).
+
+    v2 format: zstd-compressed pickle of the Aircraft dataclasses (trace
+    chunks ride along as raw bytes) behind a magic prefix — the binary
+    analog of the reference's zstd struct blobs (save_blob,
+    globe_index.c:2656-2938).  ~40x faster and ~4x smaller than the v1
+    per-field JSON at aggregator fleet sizes (tests/test_state_scale.py);
+    load_state still reads v1 blobs for upgrade compatibility.
+    """
+    import pickle
+
+    import zstandard
+
     os.makedirs(directory, exist_ok=True)
     records = [
-        _aircraft_to_dict(a)
+        _pack_aircraft(a)
         for addr, a in tracker.aircraft.items()
         if addr % STATE_BLOBS == blob
     ]
-    doc = {"magic": STATE_MAGIC, "blob": blob, "aircraft": records}
-    path = os.path.join(directory, f"blob_{blob:02d}.json.gz")
+    payload = pickle.dumps({"blob": blob, "aircraft": records}, protocol=4)
+    path = os.path.join(directory, f"blob_{blob:02d}.bin.zst")
     tmp = path + ".tmp"
-    with gzip.open(tmp, "wt") as f:
-        json.dump(doc, f)
+    with open(tmp, "wb") as f:
+        f.write(STATE_MAGIC_V2)
+        f.write(zstandard.ZstdCompressor(level=1).compress(payload))
     os.rename(tmp, path)
+    # a leftover v1 blob would resurrect stale aircraft on load
+    v1 = os.path.join(directory, f"blob_{blob:02d}.json.gz")
+    if os.path.exists(v1):
+        os.unlink(v1)
     return len(records)
 
 
@@ -152,8 +247,30 @@ def save_state(tracker: Tracker, directory: str, now_ms: int) -> int:
 
 def load_state(tracker: Tracker, directory: str) -> int:
     """Parallel-loadable startup restore (readInternalState analog)."""
+    import pickle
+
+    import zstandard
+
     n = 0
     for blob in range(STATE_BLOBS):
+        path = os.path.join(directory, f"blob_{blob:02d}.bin.zst")
+        if os.path.exists(path):
+            try:
+                raw = open(path, "rb").read()
+                if not raw.startswith(STATE_MAGIC_V2):
+                    continue
+                doc = pickle.loads(
+                    zstandard.ZstdDecompressor().decompress(
+                        raw[len(STATE_MAGIC_V2):]
+                    )
+                )
+            except (OSError, pickle.UnpicklingError, zstandard.ZstdError):
+                continue
+            for d in doc.get("aircraft", []):
+                a = _unpack_aircraft(d)
+                tracker.aircraft[a.addr] = a
+                n += 1
+            continue
         path = os.path.join(directory, f"blob_{blob:02d}.json.gz")
         if not os.path.exists(path):
             continue

@@ -79,6 +79,18 @@ def load():
             ctypes.POINTER(OutFrame), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.rtpu_beast_deframe.restype = ctypes.c_long
+        lib.rtpu_beast_deframe.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _lib = lib
         return _lib
 

@@ -514,16 +514,17 @@ def _demod_core(
 
     from . import pallas_kernels as pk
 
-    use_v2 = (
+    use_v3 = (
         known_tbl is not None
         and (pk.supported() or raw_uc8)
-        and k % pk.EX2_ROWS == 0
+        and k % pk.EX_ROWS == 0
         and known_tbl.shape[0] % 128 == 0
     )
-    if use_v2:
-        # fused Pallas extract + gate classification (v2): intermediates
-        # never leave VMEM and the gate's membership compares ride along
-        comb = pk.extract_classify_pallas(
+    if use_v3:
+        # fused Pallas extract + gate classification (v3 = the v1 unpack
+        # datapath + in-kernel classify): intermediates never leave VMEM
+        # and the gate's membership compares ride along
+        comb = pk.extract_classify_v3_pallas(
             rows, offsets, known_tbl, nfix=nfix, fix_df=fix_df
         )
         flags = comb[:, 83:88]

@@ -358,7 +358,12 @@ class DeviceIcaoMirror:
             vals = sorted(self._cur_set | self._prev_set)
             while len(vals) > self.capacity:
                 self.capacity *= 2
-            a = np.full(self.capacity, TBL_SENTINEL, np.int32)
+            # pad to the smallest 128-lane multiple that holds the live
+            # entries: the gate's membership compare is O(K x 5 x T), so a
+            # full-capacity pad costs 16x on a quiet table (r4 on-device
+            # measurement); growth retraces like any capacity change
+            size = max(128, -(-len(vals) // 128) * 128)
+            a = np.full(size, TBL_SENTINEL, np.int32)
             a[: len(vals)] = vals
             self._tbl = jnp.asarray(a)
             self._dirty = False

@@ -666,13 +666,23 @@ def _extract_kernel_v2(
     off = off_ref[:]
     sw, wrot, sb = _align_windows(rows, off, ex)
 
-    # selection matmuls: exact f32 (split 16-bit halves, one term per col)
-    lo16 = (sw & 0xFFFF).astype(jnp.float32)
-    hi16 = jax.lax.shift_right_logical(sw, 16).astype(jnp.float32)
-    sel = s_ref[:]
-    wlo = jax.lax.dot(lo16, sel, preferred_element_type=jnp.float32)
-    whi = jax.lax.dot(hi16, sel, preferred_element_type=jnp.float32)
-    w560 = wlo.astype(jnp.int32) | (whi.astype(jnp.int32) << 16)
+    # selection matmuls: one 0/1 term per column, split into exact 8-bit
+    # byte planes — bf16 carries ints < 256 exactly, and the TPU MXU's
+    # default f32 path truncates inputs to bf16 (interpret mode does not:
+    # a 16-bit split is bit-exact under interpretation but silently wrong
+    # on hardware — caught by the r4 on-device parity run)
+    sel = s_ref[:].astype(jnp.bfloat16)
+    parts = []
+    for sh8 in (0, 8, 16, 24):
+        b8 = (jax.lax.shift_right_logical(sw, sh8) & 0xFF).astype(jnp.bfloat16)
+        parts.append(
+            jax.lax.dot(b8, sel, preferred_element_type=jnp.float32).astype(
+                jnp.int32
+            )
+        )
+    w560 = (
+        parts[0] | (parts[1] << 8) | (parts[2] << 16) | (parts[3] << 24)
+    )
     bits = (
         jax.lax.shift_right_logical(w560, jnp.broadcast_to(sh_ref[:], (ex, N_EMIT)))
         & 1
@@ -691,10 +701,21 @@ def _extract_kernel_v2(
     )  # (EX, 70)
     corr = _corr_lanes(rows, wrot, sb, ex)
 
-    # ---- fused gate classification (ops/gate.py score_gate semantics) ------
-    # dfd_ref lives in SMEM: Mosaic supports scalar reads there only
-    # (indices 0..4 = DF17-fixable deltas, 5..9 = matching df values,
-    # 10 = nfix>0, 11 = fix_df enabled)
+    flags = _classify_block(syn, counts, tbl_ref, t112_ref, t56_ref, dfd_ref, ex)
+    out_ref[:] = jnp.concatenate(
+        [syn[:, :10], msg, corr, flags, jnp.zeros((ex, 128 - 88), jnp.int32)],
+        axis=1,
+    )
+
+
+def _classify_block(syn, counts, tbl_ref, t112_ref, t56_ref, dfd_ref, ex):
+    """Fused gate classification (ops/gate.py score_gate semantics).
+
+    dfd_ref lives in SMEM: Mosaic supports scalar reads there only
+    (indices 0..4 = DF17-fixable deltas, 5..9 = matching df values,
+    10 = nfix>0, 11 = fix_df enabled).  Returns (EX, 5) int32 flag
+    bitmasks: 1 in_t112, 2 in_t56, 4 in_tbl, 8 fix_ok, 16 zero7.
+    """
     flag_cols = []
     tbl = tbl_ref[:]  # (1, T) sentinel-padded known addresses
     t112 = t112_ref[:]  # (1, T112) sentinel-padded syndrome table
@@ -725,11 +746,99 @@ def _extract_kernel_v2(
             | (fix_ok.astype(jnp.int32) << 3)
             | (zero7.astype(jnp.int32) << 4)
         )
-    flags = jnp.concatenate(flag_cols, axis=1)  # (EX, 5)
+    return jnp.concatenate(flag_cols, axis=1)  # (EX, 5)
 
+
+def _extract_kernel_v3(
+    off_ref, rows_ref, m1_ref, m2_ref,
+    tbl_ref, t112_ref, t56_ref, dfd_ref, out_ref,
+):
+    """v1's proven repeat-unpack extraction + the fused classifier.
+
+    The r4 on-device ablation measured the v2 selection-matmul layout
+    SLOWER than v1's pltpu.repeat unpack (10.4 ms vs 6.6 ms per 131k
+    candidates), so the production kernel keeps the v1 datapath and only
+    adds the classification block (which hoists the gate's K x 5 x |tbl|
+    HBM-wide compares into VMEM).
+    """
+    ex = rows_ref.shape[0]
+    rows = rows_ref[:]
+    off = off_ref[:]
+    sw, wrot, sb = _align_windows(rows, off, ex)
+
+    lo = sw[:, :55]
+    u = pltpu.repeat(lo, 32, axis=1)  # (EX, 1760): lane l = word l%55
+    lane_bit = jax.lax.broadcasted_iota(jnp.int32, (ex, EX_BITS), 1) // 55
+    bits = (jax.lax.shift_right_logical(u, lane_bit) & 1).astype(jnp.bfloat16)
+
+    counts = jax.lax.dot(
+        bits, m1_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX, 320) exact integers < 256
+    parity = (counts & 1).astype(jnp.bfloat16)
+    syn = jax.lax.dot(
+        parity, m2_ref[:], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # (EX, 16)
+
+    msg = jnp.concatenate(
+        [counts[:, p * 62 + 48 : p * 62 + 62] for p in range(5)], axis=1
+    )
+    corr = _corr_lanes(rows, wrot, sb, ex)
+    flags = _classify_block(syn, counts, tbl_ref, t112_ref, t56_ref, dfd_ref, ex)
     out_ref[:] = jnp.concatenate(
         [syn[:, :10], msg, corr, flags, jnp.zeros((ex, 128 - 88), jnp.int32)],
         axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfix", "fix_df", "ex_rows", "interpret")
+)
+def extract_classify_v3_pallas(
+    rows: jax.Array,
+    offsets: jax.Array,
+    known_tbl: jax.Array,
+    *,
+    nfix: int = 1,
+    fix_df: bool = True,
+    ex_rows: int = EX_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """v1 extraction datapath + fused gate classification (see
+    _extract_kernel_v3).  Output layout matches extract_classify_pallas."""
+    k = rows.shape[0]
+    assert k % ex_rows == 0, (k, ex_rows)
+    m1, m2 = _extract_mats()
+    t112, t56, dfd = _gate_tables_np(nfix, fix_df)
+    t = known_tbl.shape[0]
+    assert t % 128 == 0, t
+    return pl.pallas_call(
+        _extract_kernel_v3,
+        out_shape=jax.ShapeDtypeStruct((k, 128), jnp.int32),
+        grid=(k // ex_rows,),
+        in_specs=[
+            pl.BlockSpec((ex_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ex_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EX_BITS, 320), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((320, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t112.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t56.shape[0]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ex_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        offsets.reshape(k, 1),
+        rows,
+        jnp.asarray(m1, dtype=jnp.bfloat16),  # entries <= 128: bf16-exact
+        jnp.asarray(m2, dtype=jnp.bfloat16),  # powers of two: bf16-exact
+        known_tbl.reshape(1, t),
+        jnp.asarray(t112).reshape(1, -1),
+        jnp.asarray(t56).reshape(1, -1),
+        jnp.asarray(dfd[:16]),
     )
 
 

@@ -208,6 +208,9 @@ class _Cols:
             setattr(self, f, z(cap, np.int64))
             setattr(self, f + "_ts", np.full(cap, -(1 << 60), np.int64))
             setattr(self, f + "_src", np.full(cap, _INVALID, np.int64))
+        # last-8 signal-power ring (tracker signal_ring; json rssi)
+        self.sig_ring = z((cap, 8))
+        self.sig_n = z(cap, np.int64)
         # squawk + double-confirmation tentative (track.c:2071-2092); -1 = unset
         self.squawk = np.full(cap, -1, np.int64)
         self.squawk_ts = np.full(cap, -(1 << 60), np.int64)
@@ -362,6 +365,13 @@ class BulkTracker:
         c.messages[s] += 1
 
         psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
+
+        sigv = mc.get("signal")
+        if sigv is not None:
+            sm = sigv[rows] > 0
+            i = s[sm]
+            c.sig_ring[i, c.sig_n[i] & 7] = sigv[rows][sm]
+            c.sig_n[i] += 1
 
         def accept(field, valid_mask, values):
             ok = valid_mask & self._accept_cols(

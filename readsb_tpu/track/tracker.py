@@ -403,12 +403,18 @@ class Tracker:
         self.cpr_global_speed_checks = 0
         self.cpr_local_speed_checks = 0
         self.cpr_local_range_checks = 0
+        self.cpr_global_range_checks = 0
         self.cpr_local_aircraft_relative = 0
         self.cpr_local_receiver_relative = 0
         self.cpr_filtered = 0
         self.tracks_all = 0
         self.tracks_single_message = 0
         self.messages_total = 0
+        # position counters (stats.h pos_all/pos_duplicate/pos_by_type)
+        self.pos_all = 0
+        self.pos_duplicate = 0
+        self.pos_garbage = 0
+        self.pos_by_type: dict = {}
         # Mode A/C squawk-indexed count/match tables (track.c:56-59)
         import numpy as _np
 
@@ -1263,9 +1269,13 @@ class Tracker:
         ):
             mm.duplicate = True
             mm.pos_ignore = True
+            self.pos_duplicate += 1
             return
         if not self._accept(a, a.position_valid, mm.source, now):
             return
+        self.pos_all += 1
+        k = int(mm.addrtype)
+        self.pos_by_type[k] = self.pos_by_type.get(k, 0) + 1
         prev_seen_pos = a.seen_pos
         a.prev_lat, a.prev_lon, a.prev_pos_time = a.lat or 0.0, a.lon or 0.0, a.seen_pos
         a.lat = lat

@@ -153,7 +153,11 @@ def test_extract_classify_v2_bit_equality():
         _df_delta_np,
         _table_syndromes_np,
     )
-    from readsb_tpu.ops.pallas_kernels import EX2_ROWS, extract_classify_pallas
+    from readsb_tpu.ops.pallas_kernels import (
+        EX2_ROWS,
+        extract_classify_pallas,
+        extract_classify_v3_pallas,
+    )
     from tools.synth import build_standard_capture
 
     cap = build_standard_capture(duration_s=0.2, n_aircraft=3, seed=13)
@@ -182,9 +186,14 @@ def test_extract_classify_v2_bit_equality():
     tbl_np[:3] = [0x400000, 0x401111, 0x402222]
     tbl = jnp.asarray(tbl_np)
 
-    for nfix, fix_df in ((1, True), (0, False)):
+    for (nfix, fix_df), kern in (
+        ((1, True), extract_classify_pallas),
+        ((0, False), extract_classify_pallas),
+        ((1, True), extract_classify_v3_pallas),
+        ((0, False), extract_classify_v3_pallas),
+    ):
         comb = np.asarray(
-            extract_classify_pallas(
+            kern(
                 rows, bc.offsets, tbl, nfix=nfix, fix_df=fix_df, interpret=True
             )
         )

@@ -97,3 +97,62 @@ art = {
 with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NET.json"), "w") as f:
     json.dump(art, f, indent=1)
 print("artifact: BENCH_NET.json", art)
+
+
+# ---------------------------------------------------------------------------
+# App-level bulk path (--net-bulk-drain): beast WIRE BYTES -> native
+# columnar deframer -> columnar accept/decode/track -> aircraft.json
+# ---------------------------------------------------------------------------
+
+def bench_bulk_app():
+    import asyncio
+
+    from readsb_tpu.app.bulk_drain import materialize
+    from readsb_tpu.io.json_out import aircraft_dict
+
+    # wire stream with synthetic timestamps (replay clock)
+    parts = []
+    for i, m in enumerate(msgs):
+        if i % 100 == 0:
+            parts.append(beast_io.encode_synthetic_ts(1_000_000 + i // 100))
+        parts.append(beast_io.encode_frame(m, i * 500, 0.04))
+    wire = b"".join(parts)
+
+    app2 = App(parse_args([
+        "--net-only", "--quiet", "--lat", "50.5", "--lon", "4.0",
+        "--net-bulk-drain",
+    ]))
+    conn = app2._beast_input_factory()()
+
+    async def pump():
+        i = 0
+        while i < len(wire):
+            await conn.feed(wire[i : i + (1 << 20)])
+            i += 1 << 20
+
+    t0 = time.perf_counter()
+    asyncio.run(pump())
+    app2.drain_net_queue()
+    materialize(app2, app2.now_ms())
+    now = app2.now_ms()
+    snapshot = [
+        aircraft_dict(app2.tracker, a, now)
+        for a in app2.tracker.aircraft.values()
+    ]
+    dt = time.perf_counter() - t0
+    rate = app2.messages / dt
+    n_pos = sum(1 for d in snapshot if "lat" in d)
+    print(
+        f"bulk APP e2e (wire bytes -> aircraft.json): {app2.messages} msgs in "
+        f"{dt*1e3:.0f} ms -> {rate/1e3:.0f}k msgs/s "
+        f"({len(snapshot)} aircraft, {n_pos} with positions)"
+    )
+    return rate
+
+
+rate_app = bench_bulk_app()
+art["bulk_app_msgs_per_s"] = round(rate_app)
+art["note"] += "; bulk_app = wire bytes -> native columnar deframer -> columnar accept/decode/track -> aircraft.json snapshot (--net-bulk-drain)"
+with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NET.json"), "w") as f:
+    json.dump(art, f, indent=1)
+print("artifact updated: BENCH_NET.json", art)

@@ -127,14 +127,14 @@ def encode_df17_velocity(addr: int, gs_kt: float, track_deg: float, vr_fpm: floa
     ns = gs_kt * math.cos(math.radians(track_deg))
     ew_sign = 1 if ew < 0 else 0
     ns_sign = 1 if ns < 0 else 0
-    ew_v = min(1023, int(round(abs(ew)))) + 1
-    ns_v = min(1023, int(round(abs(ns)))) + 1
+    ew_v = min(1023, int(round(abs(ew))) + 1)  # 10-bit field: raw <= 1023
+    ns_v = min(1023, int(round(abs(ns))) + 1)
     _setbits(msg, me + 13, me + 13, ew_sign)
     _setbits(msg, me + 14, me + 23, ew_v)
     _setbits(msg, me + 24, me + 24, ns_sign)
     _setbits(msg, me + 25, me + 34, ns_v)
     vr_sign = 1 if vr_fpm < 0 else 0
-    vr_v = min(511, int(round(abs(vr_fpm) / 64))) + 1
+    vr_v = min(511, int(round(abs(vr_fpm) / 64)) + 1)  # 9-bit field
     _setbits(msg, me + 35, me + 35, 1)  # VR source: baro
     _setbits(msg, me + 36, me + 36, vr_sign)
     _setbits(msg, me + 37, me + 45, vr_v)
