@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <algorithm>
 #include <vector>
+#include <unordered_map>
 
 namespace {
 
@@ -121,6 +122,42 @@ struct Ctx {
             i = j + 1;
         }
         tab.swap(dedup);
+
+        if (max_correct >= 2) {
+            // flag collisions with 3- and 4-bit error patterns
+            // (flagCollisions + max_detect=4, crc.c:151-295): a syndrome
+            // reachable by an undetected higher-order error must not be
+            // "corrected" — this cuts 2-bit coverage to ~65% and is what
+            // the reference means by --aggressive being conservative.
+            // (Found by the adversarial parity corpus: without this the
+            // native path accepted 2-bit fixes the reference rejects.)
+            std::unordered_map<uint32_t, size_t> idx;
+            idx.reserve(tab.size() * 2);
+            for (size_t k = 0; k < tab.size(); ++k) idx.emplace(tab[k].syndrome, k);
+            std::vector<char> kill(tab.size(), 0);
+            int n = bits - 5;
+            std::vector<uint32_t> base(n);
+            for (int b = 0; b < n; ++b) base[b] = bit_syn112[b + 5 + offset];
+            for (int a = 0; a < n; ++a) {
+                for (int b = a + 1; b < n; ++b) {
+                    uint32_t s2 = base[a] ^ base[b];
+                    for (int c3 = b + 1; c3 < n; ++c3) {
+                        uint32_t s3 = s2 ^ base[c3];
+                        auto it3 = idx.find(s3);
+                        if (it3 != idx.end()) kill[it3->second] = 1;
+                        for (int c4 = c3 + 1; c4 < n; ++c4) {
+                            auto it4 = idx.find(s3 ^ base[c4]);
+                            if (it4 != idx.end()) kill[it4->second] = 1;
+                        }
+                    }
+                }
+            }
+            std::vector<ErrorEntry> kept;
+            kept.reserve(tab.size());
+            for (size_t k = 0; k < tab.size(); ++k)
+                if (!kill[k]) kept.push_back(tab[k]);
+            tab.swap(kept);
+        }
     }
 
     const ErrorEntry* diagnose(const std::vector<ErrorEntry>& tab, uint32_t syn) const {

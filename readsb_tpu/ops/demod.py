@@ -475,14 +475,14 @@ def _demod_core(
         padded = ((buf.shape[0] + 512 + tile - 1) // tile) * tile
         bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
         corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_uc8_pallas(
-            bufp, threshold
+            bufp, threshold, interpret=pallas_kernels.INTERPRET
         )
     elif pallas_kernels.supported():
         tile = pallas_kernels.DENSE_ROWS * pallas_kernels.LANES
         padded = ((buf.shape[0] + tile - 1) // tile) * tile
         bufp = jnp.pad(buf, (0, padded - buf.shape[0]))
         corrbits, pwords, cs_hi, cs_lo = pallas_kernels.dense_scan_pallas(
-            bufp, threshold
+            bufp, threshold, interpret=pallas_kernels.INTERPRET
         )
     else:
         corrbits, pwords, cs_hi, cs_lo = _dense_stages_jnp(buf, threshold)
@@ -525,12 +525,13 @@ def _demod_core(
         # datapath + in-kernel classify): intermediates never leave VMEM
         # and the gate's membership compares ride along
         comb = pk.extract_classify_v3_pallas(
-            rows, offsets, known_tbl, nfix=nfix, fix_df=fix_df
+            rows, offsets, known_tbl, nfix=nfix, fix_df=fix_df,
+            interpret=pk.INTERPRET,
         )
         flags = comb[:, 83:88]
     elif (pk.supported() or raw_uc8) and k % pk.EX_ROWS == 0:
         # fused Pallas extraction: intermediates never leave VMEM
-        comb = pk.extract_syndromes_pallas(rows, offsets)
+        comb = pk.extract_syndromes_pallas(rows, offsets, interpret=pk.INTERPRET)
         flags = None
     else:
         comb = None

@@ -124,3 +124,91 @@ def shard_stream(stream: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a (C, T) magnitude array with the (chan, time) sharding."""
     sharding = NamedSharding(mesh, P("chan", "time"))
     return jax.device_put(stream, sharding)
+
+
+def build_sharded_gated_demod(
+    mesh: Mesh,
+    *,
+    k_per_shard: int = 512,
+    threshold: int = 58,
+    k2: int = 256,
+    keep_l: int = 32,
+    nfix: int = 1,
+    fix_df: bool = True,
+):
+    """The PRODUCTION gated program under shard_map: per-shard fused
+    dense-scan/extract (Pallas; Mosaic interpreter on the CPU dryrun via
+    ops.pallas_kernels.INTERPRET) + device score gate, with the
+    326-sample halo exchanged over ICI by ppermute.  Returns a jitted
+    fn: ((C, T) uint16 magnitudes, known_tbl int32[T128]) -> per-shard
+    GatedCandidates subset with GLOBAL offsets (sentinel -1).
+    """
+    from ..ops.gate import score_gate
+
+    n_time = mesh.shape["time"]
+
+    class ShardedGated(NamedTuple):
+        offsets: jax.Array  # int32[C, S, K2] global (sentinel -1)
+        n_cand: jax.Array  # int32[C, S]
+        n_keep: jax.Array  # int32[C, S]
+        pre_drop: jax.Array  # int32[C, S]
+        corr_fired: jax.Array  # bool[C, S, K2, 3]
+        msg: jax.Array  # uint8[C, S, K2, 5, 14]
+        syn112: jax.Array  # int32[C, S, K2, 5]
+        syn56: jax.Array  # int32[C, S, K2, 5]
+        sig_long: jax.Array  # int32[C, S, K2, 2]
+        sig_short: jax.Array  # int32[C, S, K2, 2]
+
+    def local_demod(stream_local: jax.Array, tbl: jax.Array) -> ShardedGated:
+        c_l, s_l, t_l = stream_local.shape
+        x = stream_local.reshape(c_l, t_l)
+        tail = x[:, -TRAILING_SAMPLES:]
+        perm = [(i, i + 1) for i in range(n_time - 1)]
+        halo = jax.lax.ppermute(tail, "time", perm)
+        buf = jnp.concatenate([halo, x], axis=1)
+
+        def one(b):
+            bc, cs_hi, cs_lo = demod_ops._demod_core(
+                b, threshold, k=k_per_shard, scan_len=t_l, l=64,
+                known_tbl=tbl, nfix=nfix, fix_df=fix_df,
+            )
+            return score_gate(
+                bc, tbl, cs_hi, cs_lo, t_l, scan_len=t_l, k2=k2,
+                nfix=nfix, fix_df=fix_df, keep_l=keep_l,
+            )
+
+        gc = jax.vmap(one)(buf)
+        t_idx = jax.lax.axis_index("time").astype(jnp.int32)
+        base = t_idx * t_l
+        offsets = jnp.where(gc.offsets < t_l, gc.offsets + base, jnp.int32(-1))
+
+        def ex(a):
+            return a[:, None]
+
+        return ShardedGated(
+            offsets=ex(offsets), n_cand=ex(gc.n_cand), n_keep=ex(gc.n_keep),
+            pre_drop=ex(gc.pre_drop), corr_fired=ex(gc.corr_fired),
+            msg=ex(gc.msg), syn112=ex(gc.syn112), syn56=ex(gc.syn56),
+            sig_long=ex(gc.sig_long), sig_short=ex(gc.sig_short),
+        )
+
+    shard_fn = jax.shard_map(
+        local_demod,
+        mesh=mesh,
+        in_specs=(P("chan", None, "time"), P()),
+        out_specs=ShardedGated(
+            offsets=P("chan", "time"), n_cand=P("chan", "time"),
+            n_keep=P("chan", "time"), pre_drop=P("chan", "time"),
+            corr_fired=P("chan", "time"), msg=P("chan", "time"),
+            syn112=P("chan", "time"), syn56=P("chan", "time"),
+            sig_long=P("chan", "time"), sig_short=P("chan", "time"),
+        ),
+        # pallas_call outputs don't carry varying-mesh-axes metadata yet
+        check_vma=False,
+    )
+
+    @jax.jit
+    def sharded_gated(stream: jax.Array, tbl: jax.Array):
+        return shard_fn(stream[:, None, :], tbl)
+
+    return sharded_gated

@@ -35,6 +35,15 @@ from .ops import pallas_kernels
 
 _BYTES_PER_SAMPLE = {"uc8": 2, "sc16": 4, "sc16q11": 4}
 
+# In-kernel gate classification (extract_classify_v3_pallas): measured
+# SLOWER than the jnp score_gate with a compact known table on v5e
+# (r4 sessions: 20.1 ms vs 18.4 ms per 64-channel superblock — the
+# classifier's per-phase column ops are lane-starved in Mosaic), so the
+# production path keeps classification in XLA.  The fused kernel stays
+# validated (interpret-mode bit-equality + the multichip dryrun) for
+# future re-evaluation.
+FUSE_CLASSIFY = False
+
 
 def _to_mag(raw: np.ndarray, fmt: str) -> jax.Array:
     if fmt == "uc8":
@@ -345,7 +354,8 @@ def _demod_and_gate(
     buf = jnp.concatenate([overlap, mag])
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
-        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
+        known_tbl=known_tbl if FUSE_CLASSIFY else None,
+        nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -379,7 +389,8 @@ def _demod_and_gate_raw(
     buf = jnp.concatenate([overlap_words, words])
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l, raw_uc8=True,
-        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
+        known_tbl=known_tbl if FUSE_CLASSIFY else None,
+        nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -413,7 +424,8 @@ def _demod_and_gate_multi_raw(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid, raw_uc8=True,
-        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
+        known_tbl=known_tbl if FUSE_CLASSIFY else None,
+        nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -610,7 +622,8 @@ def _demod_and_gate_multi(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid,
-        known_tbl=known_tbl, nfix=nfix, fix_df=fix_df,
+        known_tbl=known_tbl if FUSE_CLASSIFY else None,
+        nfix=nfix, fix_df=fix_df,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,

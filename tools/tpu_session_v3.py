@@ -123,6 +123,60 @@ def multi_chain(l):
 
 timeit("FULL multi-raw v3 (l=64)", multi_chain(64))
 
+
+# A: jnp classification with the small table (bypass the fused kernel by
+# an oversized-but-128-misaligned... simplest: known_tbl=None path is not
+# reachable through _demod_and_gate_multi_raw, so compare the ablation
+# chains instead
+@jax.jit
+def chain_v1_jnp_gate(c):
+    from readsb_tpu.ops.gate import score_gate
+
+    corr, pw, ch, cl = dense_only(c)
+    cand = (corr[:SCAN_MULTI] & 8) != 0
+    pos = jnp.arange(SCAN_MULTI, dtype=jnp.int32)
+    cand = cand & ((pos % STRIDE) < SEG_VALID)
+    offsets, max_local = _compact_two_level(cand, K, 64, SCAN_MULTI)
+    win, nv = demod_ops.win_rows(corr, pw, SCAN_MULTI)
+    rows = win[jnp.clip(offsets >> 8, 0, nv - 1)]
+    comb = pk.extract_syndromes_pallas(rows, offsets)
+    from readsb_tpu.ops.demod import BlockCandidates
+    k = K
+    bc = BlockCandidates(
+        offsets=offsets, n_cand=jnp.sum(cand.astype(jnp.int32)),
+        max_local=max_local,
+        corr_fired=(comb[:, 80:83] != 0) & (offsets < SCAN_MULTI)[:, None],
+        msg=comb[:, 10:80].reshape(k, 5, 14).astype(jnp.uint8),
+        syn112=comb[:, 0:5], syn56=comb[:, 5:10],
+        sig_long=jnp.zeros((k, 2), jnp.int32),
+        sig_short=jnp.zeros((k, 2), jnp.int32),
+    )
+    gc = score_gate(
+        bc, _tbl, ch, cl, SEG_VALID, scan_len=SCAN_MULTI, k2=4096,
+        nfix=1, fix_df=True, reset_every=BLOCK_SAMPLES, seg_stride=STRIDE,
+        keep_l=64,
+    )
+    return gc.n_cand + gc.n_keep + gc.offsets[5] + gc.syn112[7, 1]
+
+
+timeit("FULL v1-extract + jnp gate (T=128)", chain_v1_jnp_gate)
+
+
+@jax.jit
+def chain_v3_1024(c):
+    corr, pw, ch, cl = dense_only(c)
+    cand = (corr[:SCAN_MULTI] & 8) != 0
+    pos = jnp.arange(SCAN_MULTI, dtype=jnp.int32)
+    cand = cand & ((pos % STRIDE) < SEG_VALID)
+    offsets, max_local = _compact_two_level(cand, K, 64, SCAN_MULTI)
+    win, nv = demod_ops.win_rows(corr, pw, SCAN_MULTI)
+    rows = win[jnp.clip(offsets >> 8, 0, nv - 1)]
+    comb = pk.extract_classify_v3_pallas(rows, offsets, _tbl, ex_rows=1024)
+    return comb[33, 0] + comb[55, 9] + offsets[11] + max_local
+
+
+timeit("extract v3 ex_rows=1024", chain_v3_1024)
+
 # ---- parity vs CPU golden -------------------------------------------------
 try:
     import hashlib
