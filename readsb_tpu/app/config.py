@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # --- source
     p.add_argument("--device-type",
-                   choices=["ifile", "rtlsdr", "soapy", "modesbeast", "none"],
+                   choices=["ifile", "rtlsdr", "soapy", "modesbeast",
+                            "hackrf", "bladerf", "plutosdr", "none"],
                    default="none",
                    help="sample source (ifile=IQ replay, rtlsdr=USB dongle, "
                         "soapy=SoapySDR device, modesbeast=Beast serial receiver)")
@@ -46,6 +47,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--soapy-antenna", default=None)
     p.add_argument("--soapy-bandwidth", type=float, default=None)
     p.add_argument("--soapy-enable-agc", action="store_true")
+    p.add_argument("--soapy-gain-element", action="append", default=[],
+                   metavar="ELEMENT:DB", help="set a SoapySDR gain element, "
+                   "repeatable (sdr_soapy.c:306-330)")
+    p.add_argument("--hackrf-enable-ampgain", action="store_true",
+                   help="enable HackRF RF amp stage (~11 dB)")
+    p.add_argument("--hackrf-vgagain", type=int, default=48,
+                   help="HackRF baseband VGA gain (0-62, 2 dB steps)")
+    p.add_argument("--bladerf-fpga", default=None, metavar="PATH",
+                   help="bladeRF alternative FPGA bitstream ('' disables load)")
+    p.add_argument("--bladerf-decimation", type=int, default=1,
+                   help="assume the bladeRF FPGA decimates by N")
+    p.add_argument("--bladerf-bandwidth", default=None, metavar="HZ",
+                   help="bladeRF LPF bandwidth in Hz ('bypass' to bypass)")
+    p.add_argument("--pluto-uri", default=None,
+                   help="PlutoSDR USB context URI (e.g. usb:1.2.5)")
+    p.add_argument("--pluto-network", default=None,
+                   help="PlutoSDR network context host (default pluto.local)")
     p.add_argument("--beast-serial", default="/dev/ttyUSB0",
                    help="Beast serial port path")
     p.add_argument("--beast-baudrate", type=int, default=3_000_000)
@@ -124,7 +142,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--net-json-port", type=_ports, default=[], help="per-position json output port")
     p.add_argument("--net-garbage", dest="net_garbage_port", type=int, default=0,
                    help="beast output port for frames from quarantined feeders")
-    p.add_argument("--net-api-port", type=int, default=0, help="/re-api query port")
+    p.add_argument("--net-api-port", default=0,
+                   help="/re-api query port, or a unix socket path (api.c:1967)")
     p.add_argument("--net-uat-in-port", type=_ports, default=[],
                    help="dump978 raw text input listen port (UAT -> synthetic DF18)")
     p.add_argument("--net-uat-replay-port", type=_ports, default=[],
@@ -153,6 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beast-reduce: drop aircraft above this pressure altitude")
     p.add_argument("--net-beast-reduce-optimize-for-mlat", action="store_true",
                    help="beast-reduce: keep all messages relevant to mlat-client")
+    p.add_argument("--dump-beast", default=None, metavar="DIR,INTERVAL",
+                   help="dump compressed beast files to DIR, new file every "
+                        "INTERVAL seconds (help.h:104)")
     p.add_argument("--dump-beast-dir", default=None,
                    help="record the incoming beast message stream (zstd chunks)")
     p.add_argument("--dump-beast-interval", type=float, default=30.0,
@@ -278,4 +300,10 @@ def parse_args(argv=None):
         args.json_reliable = 1
     if args.device_type == "ifile" and not args.ifile:
         build_parser().error("--device-type ifile requires --ifile")
+    if args.dump_beast:
+        # reference form: --dump-beast <dir>,<interval> (help.h:104)
+        parts = str(args.dump_beast).rsplit(",", 1)
+        args.dump_beast_dir = parts[0]
+        if len(parts) > 1:
+            args.dump_beast_interval = float(parts[1])
     return args

@@ -428,6 +428,44 @@ class App:
             gain_db=-10.0 if (args.enable_agc or args.soapy_enable_agc) else args.gain,
             freq_hz=args.freq, antenna=args.soapy_antenna,
             bandwidth=args.soapy_bandwidth,
+            gain_elements=list(args.soapy_gain_element or []),
+        )
+        await self._run_sdr_source(src, "sc16")
+
+    async def run_hackrf(self) -> None:
+        """HackRF capture (sdr_hackrf.c): signed-8 IQ rebias to UC8."""
+        from ..io.sdr import HackRfSource
+
+        args = self.args
+        src = HackRfSource(
+            device=args.device if args.device != "0" else None,
+            gain_db=args.gain, freq_hz=args.freq,
+            vga_gain=args.hackrf_vgagain,
+            enable_amp=args.hackrf_enable_ampgain,
+        )
+        await self._run_sdr_source(src, "uc8")
+
+    async def run_bladerf(self) -> None:
+        """bladeRF capture (sdr_bladerf.c): SC16Q11 sync stream."""
+        from ..io.sdr import BladeRfSource
+
+        args = self.args
+        src = BladeRfSource(
+            device=args.device if args.device != "0" else None,
+            freq_hz=args.freq, fpga_path=args.bladerf_fpga,
+            decimation=args.bladerf_decimation,
+            bandwidth=args.bladerf_bandwidth,
+        )
+        await self._run_sdr_source(src, "sc16q11")
+
+    async def run_pluto(self) -> None:
+        """ADALM-Pluto capture (sdr_plutosdr.c): libiio SC16 stream."""
+        from ..io.sdr import PlutoSource
+
+        args = self.args
+        src = PlutoSource(
+            uri=args.pluto_uri, network=args.pluto_network,
+            freq_hz=args.freq, gain_db=args.gain,
         )
         await self._run_sdr_source(src, "sc16")
 
@@ -1275,7 +1313,12 @@ class App:
             from ..io.api import ApiServer
 
             self.api_server = ApiServer(self)
-            await self.api_server.listen(args.net_api_port)
+            port = args.net_api_port
+            if isinstance(port, str) and not port.isdigit():
+                # a path: unix-socket listener (api.c:1967)
+                await self.api_server.listen_unix(port)
+            else:
+                await self.api_server.listen(int(port))
         # shadow locally so a non-default delay applies to every connector
         Connector = _ft.partial(  # noqa: F841 (shadows the module import)
             globals()["Connector"], reconnect_delay=args.net_connector_delay
@@ -1441,6 +1484,12 @@ class App:
                 await self.run_soapy()
             elif self.args.device_type == "modesbeast":
                 await self.run_beast_serial()
+            elif self.args.device_type == "hackrf":
+                await self.run_hackrf()
+            elif self.args.device_type == "bladerf":
+                await self.run_bladerf()
+            elif self.args.device_type == "plutosdr":
+                await self.run_pluto()
             elif self.args.net or self.args.net_only:
                 await self._exit_event.wait()
             else:

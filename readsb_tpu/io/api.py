@@ -147,8 +147,21 @@ class ApiServer:
         self.draining = False
         self.request_count = 0  # readsb_api_request_count (stats.c:798)
 
+    MAX_TARGET = 16384  # request-line cap (apiReadRequest bounds its buffer)
+
     async def listen(self, port: int, host: str = "0.0.0.0") -> None:
         self.server = await asyncio.start_server(self.handle, host, port)
+
+    async def listen_unix(self, path: str) -> None:
+        """Unix-socket listener (--net-api-port with a path; api.c:1967
+        supports both TCP ports and unix sockets)."""
+        import os
+
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        self.server = await asyncio.start_unix_server(self.handle, path)
 
     def update(self, now: int) -> None:
         """Rebuild + atomically swap the snapshot (apiUpdate)."""
@@ -156,8 +169,10 @@ class ApiServer:
         self._last_update = time.time()
 
     def _fresh_snapshot(self) -> ApiSnapshot:
-        # lazily (re)build if the periodic loop hasn't yet (e.g. tests)
-        if self.snapshot is None or time.time() - self._last_update > 2.0:
+        # the periodic loop rebuilds each tick; a request never rebuilds
+        # synchronously (the latency spike api.c's double buffer avoids) —
+        # it serves the existing snapshot, building only the very first one
+        if self.snapshot is None:
             self.update(self.app.now_ms())
         return self.snapshot
 
@@ -166,6 +181,13 @@ class ApiServer:
             while True:
                 line = await reader.readline()
                 if not line:
+                    return
+                if len(line) > self.MAX_TARGET:
+                    writer.write(
+                        b"HTTP/1.1 413 Payload Too Large\r\n"
+                        b"Content-Length: 0\r\nConnection: close\r\n\r\n"
+                    )
+                    await writer.drain()
                     return
                 parts = line.decode("latin1").split()
                 if len(parts) < 2:

@@ -189,6 +189,7 @@ class SoapySource:
     sample_rate: int = 2_400_000
     antenna: str | None = None
     bandwidth: float | None = None
+    gain_elements: list = field(default_factory=list)  # "ELEMENT:DB" strings
     queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
     _lib = None
     _dev = None
@@ -228,6 +229,17 @@ class SoapySource:
         if self.bandwidth:
             lib.SoapySDRDevice_setBandwidth(
                 self._dev, self.SOAPY_SDR_RX, ch, ctypes.c_double(self.bandwidth)
+            )
+        for element in self.gain_elements:
+            # "<element>:<db>" (sdr_soapy.c:306-330)
+            name, _, db = element.partition(":")
+            if not db:
+                raise RuntimeError(
+                    f"soapy: gain element {element!r} must be <element>:<db>"
+                )
+            lib.SoapySDRDevice_setGainElement(
+                self._dev, self.SOAPY_SDR_RX, ch, name.encode(),
+                ctypes.c_double(float(db)),
             )
         if self.gain_db is None or self.gain_db <= -10:
             lib.SoapySDRDevice_setGainMode(self._dev, self.SOAPY_SDR_RX, ch, 1)
@@ -342,3 +354,323 @@ class BeastSerialSource:
         if self.fd >= 0:
             os.close(self.fd)
             self.fd = -1
+
+
+# ---------------------------------------------------------------------------
+# HackRF (sdr_hackrf.c): libhackrf async RX, signed-8 IQ -> UC8
+# ---------------------------------------------------------------------------
+
+
+def _load_lib(name: str, probe: str):
+    libname = ctypes.util.find_library(name)
+    if not libname:
+        return None
+    try:
+        lib = ctypes.CDLL(libname)
+        getattr(lib, probe)
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
+@dataclass
+class HackRfSource:
+    """HackRF capture (sdr_hackrf.c:65-180 behaviors): async RX callback,
+    LNA gain in 8 dB steps, VGA gain 0-62 in 2 dB steps, optional RF amp.
+    Samples are interleaved signed-8 IQ; the reader rebiases to UC8."""
+
+    device: str | None = None
+    freq_hz: int = 1_090_000_000
+    sample_rate: int = 2_400_000
+    gain_db: float | None = None  # LNA gain; reference clamps 0..40
+    vga_gain: int = 48  # --hackrf-vgagain
+    enable_amp: bool = False  # --hackrf-enable-ampgain
+    queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
+
+    _lib = None
+    _dev = None
+    _cb = None
+    dropped_buffers: int = 0
+
+    @staticmethod
+    def available() -> bool:
+        return _load_lib("hackrf", "hackrf_init") is not None
+
+    def open(self) -> None:
+        lib = _load_lib("hackrf", "hackrf_init")
+        if lib is None:
+            raise RuntimeError(
+                "libhackrf not found — HackRF capture unavailable on this "
+                "host (install libhackrf, or use --device-type ifile/rtlsdr/soapy)"
+            )
+        self._lib = lib
+        if lib.hackrf_init() != 0:
+            raise RuntimeError("hackrf_init failed")
+        dev = ctypes.c_void_p()
+        if self.device:
+            rc = lib.hackrf_open_by_serial(self.device.encode(), ctypes.byref(dev))
+        else:
+            rc = lib.hackrf_open(ctypes.byref(dev))
+        if rc != 0:
+            raise RuntimeError("hackrf_open failed")
+        self._dev = dev
+        lib.hackrf_set_sample_rate.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.hackrf_set_sample_rate(dev, float(self.sample_rate))
+        lib.hackrf_set_freq.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.hackrf_set_freq(dev, self.freq_hz)
+        # gain handling mirrors hackRFOpen: auto/overrange -> max (40 dB),
+        # rounded down to the 8 dB LNA step; VGA in 2 dB steps
+        g = 40.0 if self.gain_db is None or self.gain_db >= 40 else max(0.0, self.gain_db)
+        lib.hackrf_set_amp_enable(dev, 1 if self.enable_amp else 0)
+        lib.hackrf_set_lna_gain(dev, int(g) // 8 * 8)
+        lib.hackrf_set_vga_gain(dev, max(0, min(62, self.vga_gain)) // 2 * 2)
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> None:
+        lib, dev = self._lib, self._dev
+
+        # transfer callback: struct hackrf_transfer { device*, buffer*,
+        # buffer_length, valid_length, ... } — only the head is needed
+        class _Transfer(ctypes.Structure):
+            _fields_ = [
+                ("device", ctypes.c_void_p),
+                ("buffer", ctypes.POINTER(ctypes.c_uint8)),
+                ("buffer_length", ctypes.c_int),
+                ("valid_length", ctypes.c_int),
+            ]
+
+        CB = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(_Transfer))
+
+        def on_rx(tr):
+            t = tr.contents
+            n = t.valid_length
+            raw = np.ctypeslib.as_array(t.buffer, shape=(n,))
+            # signed-8 IQ -> UC8 rebias (sdr_hackrf.c converts via +128)
+            data = (raw.astype(np.int16) + 128).astype(np.uint8).tobytes()
+            loop.call_soon_threadsafe(self._push, data)
+            return 0
+
+        self._cb = CB(on_rx)  # keep a reference: ctypes must not GC it
+        if lib.hackrf_start_rx(dev, self._cb, None) != 0:
+            raise RuntimeError("hackrf_start_rx failed")
+
+    def _push(self, data: bytes) -> None:
+        if self.queue.full():
+            try:
+                self.queue.get_nowait()
+                self.dropped_buffers += 1
+            except asyncio.QueueEmpty:
+                pass
+        self.queue.put_nowait(data)
+
+    def close(self) -> None:
+        if self._lib is not None and self._dev is not None:
+            self._lib.hackrf_stop_rx(self._dev)
+            self._lib.hackrf_close(self._dev)
+            self._lib.hackrf_exit()
+            self._dev = None
+
+
+# ---------------------------------------------------------------------------
+# bladeRF (sdr_bladerf.c): libbladeRF sync RX, SC16Q11
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BladeRfSource:
+    """bladeRF capture (sdr_bladerf.c): synchronous SC16_Q11 RX stream;
+    optional FPGA image load, decimation and LPF bandwidth overrides."""
+
+    device: str | None = None  # bladerf device identifier string
+    freq_hz: int = 1_090_000_000
+    sample_rate: int = 2_400_000
+    fpga_path: str | None = None  # --bladerf-fpga
+    decimation: int = 1  # --bladerf-decimation
+    bandwidth: str | None = None  # --bladerf-bandwidth (hz or 'bypass')
+    buf_samples: int = SDR_BUF_BYTES // 4
+    queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
+
+    _lib = None
+    _dev = None
+    _stop: threading.Event = field(default_factory=threading.Event)
+    dropped_buffers: int = 0
+
+    @staticmethod
+    def available() -> bool:
+        return _load_lib("bladeRF", "bladerf_open") is not None
+
+    def open(self) -> None:
+        lib = _load_lib("bladeRF", "bladerf_open")
+        if lib is None:
+            raise RuntimeError(
+                "libbladeRF not found — bladeRF capture unavailable on this "
+                "host (install libbladeRF, or use --device-type ifile/rtlsdr/soapy)"
+            )
+        self._lib = lib
+        dev = ctypes.c_void_p()
+        if lib.bladerf_open(ctypes.byref(dev), (self.device or "").encode() or None) != 0:
+            raise RuntimeError("bladerf_open failed")
+        self._dev = dev
+        if self.fpga_path:
+            lib.bladerf_load_fpga(dev, self.fpga_path.encode())
+        BLADERF_MODULE_RX = 0
+        rate = self.sample_rate * max(1, self.decimation)
+        lib.bladerf_set_sample_rate(dev, BLADERF_MODULE_RX, rate, None)
+        lib.bladerf_set_frequency(dev, BLADERF_MODULE_RX, self.freq_hz)
+        if self.bandwidth and self.bandwidth != "bypass":
+            lib.bladerf_set_bandwidth(dev, BLADERF_MODULE_RX, int(float(self.bandwidth)), None)
+        BLADERF_FORMAT_SC16_Q11 = 0
+        lib.bladerf_sync_config(dev, BLADERF_MODULE_RX, BLADERF_FORMAT_SC16_Q11,
+                                16, 65536, 8, 1000)
+        lib.bladerf_enable_module(dev, BLADERF_MODULE_RX, 1)
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> threading.Thread:
+        lib, dev = self._lib, self._dev
+
+        def reader():
+            buf = (ctypes.c_int16 * (self.buf_samples * 2))()
+            while not self._stop.is_set():
+                if lib.bladerf_sync_rx(dev, buf, self.buf_samples, None, 1000) != 0:
+                    break
+                data = bytes(bytearray(buf))
+                loop.call_soon_threadsafe(self._push, data)
+            loop.call_soon_threadsafe(self.queue.put_nowait, b"")
+
+        t = threading.Thread(target=reader, name="bladerf-reader", daemon=True)
+        t.start()
+        self._thread = t
+        return t
+
+    _push = RtlSdrSource._push
+
+    def close(self) -> None:
+        self._stop.set()
+        t = getattr(self, "_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=2.0)
+        if self._lib is not None and self._dev is not None:
+            self._lib.bladerf_enable_module(self._dev, 0, 0)
+            self._lib.bladerf_close(self._dev)
+            self._dev = None
+
+
+# ---------------------------------------------------------------------------
+# ADALM-Pluto (sdr_plutosdr.c): libiio context (USB uri or network)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlutoSource:
+    """PlutoSDR capture via libiio (sdr_plutosdr.c): cf-ad9361-lpc RX
+    buffer stream, SC16 IQ.  Context from --pluto-uri or --pluto-network."""
+
+    uri: str | None = None  # --pluto-uri
+    network: str | None = None  # --pluto-network (default pluto.local)
+    freq_hz: int = 1_090_000_000
+    sample_rate: int = 2_400_000
+    gain_db: float | None = None
+    queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
+
+    _lib = None
+    _ctx = None
+    _buf = None
+    _stop: threading.Event = field(default_factory=threading.Event)
+    dropped_buffers: int = 0
+
+    @staticmethod
+    def available() -> bool:
+        return _load_lib("iio", "iio_create_default_context") is not None
+
+    def open(self) -> None:
+        lib = _load_lib("iio", "iio_create_default_context")
+        if lib is None:
+            raise RuntimeError(
+                "libiio not found — PlutoSDR capture unavailable on this "
+                "host (install libiio, or use --device-type ifile/rtlsdr/soapy)"
+            )
+        self._lib = lib
+        lib.iio_create_context_from_uri.restype = ctypes.c_void_p
+        lib.iio_create_network_context.restype = ctypes.c_void_p
+        if self.uri:
+            ctx = lib.iio_create_context_from_uri(self.uri.encode())
+        else:
+            ctx = lib.iio_create_network_context(
+                (self.network or "pluto.local").encode()
+            )
+        if not ctx:
+            raise RuntimeError("pluto: could not create iio context")
+        self._ctx = ctypes.c_void_p(ctx)
+        lib.iio_context_find_device.restype = ctypes.c_void_p
+        phy = lib.iio_context_find_device(self._ctx, b"ad9361-phy")
+        rxdev = lib.iio_context_find_device(self._ctx, b"cf-ad9361-lpc")
+        if not phy or not rxdev:
+            raise RuntimeError("pluto: ad9361 devices not found in context")
+        self._phy, self._rxdev = ctypes.c_void_p(phy), ctypes.c_void_p(rxdev)
+        lib.iio_device_find_channel.restype = ctypes.c_void_p
+        alt = lib.iio_device_find_channel(self._phy, b"altvoltage0", True)
+        lib.iio_channel_attr_write_longlong(
+            ctypes.c_void_p(alt), b"frequency", ctypes.c_longlong(self.freq_hz)
+        )
+        ch = lib.iio_device_find_channel(self._phy, b"voltage0", False)
+        lib.iio_channel_attr_write_longlong(
+            ctypes.c_void_p(ch), b"sampling_frequency",
+            ctypes.c_longlong(self.sample_rate),
+        )
+        if self.gain_db is None or self.gain_db <= -10:
+            lib.iio_channel_attr_write(
+                ctypes.c_void_p(ch), b"gain_control_mode", b"slow_attack"
+            )
+        else:
+            lib.iio_channel_attr_write(
+                ctypes.c_void_p(ch), b"gain_control_mode", b"manual"
+            )
+            lib.iio_channel_attr_write_longlong(
+                ctypes.c_void_p(ch), b"hardwaregain",
+                ctypes.c_longlong(int(self.gain_db)),
+            )
+        for name in (b"voltage0", b"voltage1"):
+            rxch = lib.iio_device_find_channel(self._rxdev, name, False)
+            if rxch:
+                lib.iio_channel_enable(ctypes.c_void_p(rxch))
+        lib.iio_device_create_buffer.restype = ctypes.c_void_p
+        buf = lib.iio_device_create_buffer(
+            self._rxdev, ctypes.c_size_t(SDR_BUF_BYTES // 4), False
+        )
+        if not buf:
+            raise RuntimeError("pluto: iio buffer creation failed")
+        self._buf = ctypes.c_void_p(buf)
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> threading.Thread:
+        lib = self._lib
+
+        def reader():
+            lib.iio_buffer_start.restype = ctypes.c_void_p
+            lib.iio_buffer_end.restype = ctypes.c_void_p
+            while not self._stop.is_set():
+                if lib.iio_buffer_refill(self._buf) < 0:
+                    break
+                start = lib.iio_buffer_start(self._buf)
+                end = lib.iio_buffer_end(self._buf)
+                n = int(end) - int(start)
+                data = ctypes.string_at(start, n)
+                loop.call_soon_threadsafe(self._push, data)
+            loop.call_soon_threadsafe(self.queue.put_nowait, b"")
+
+        t = threading.Thread(target=reader, name="pluto-reader", daemon=True)
+        t.start()
+        self._thread = t
+        return t
+
+    _push = RtlSdrSource._push
+
+    def close(self) -> None:
+        self._stop.set()
+        t = getattr(self, "_thread", None)
+        if t is not None and t.is_alive():
+            t.join(timeout=2.0)
+        if self._lib is not None:
+            if self._buf is not None:
+                self._lib.iio_buffer_destroy(self._buf)
+                self._buf = None
+            if self._ctx is not None:
+                self._lib.iio_context_destroy(self._ctx)
+                self._ctx = None

@@ -180,3 +180,61 @@ def test_api_snapshot_consistent_with_aircraft_json(api_app):
     _, d_all = _count(port, "/?all")
     api_hexes = {a["hex"] for a in d_all["aircraft"]}
     assert json_hexes & api_hexes  # same population visible both ways
+
+
+def test_api_latency_budget(api_app):
+    """checkapi.sh tracks time_total per query; budget each shape here."""
+    port = api_app["port"]
+    shapes = [
+        "/?all", "/?all_with_pos", "/?box=40,55,0,20",
+        "/?circle=47.5,8.5,500", "/?closest=47.5,8.5,500",
+        "/?all&filter_with_pos", "/?all&jv2", "/?status",
+    ]
+    for shape in shapes:
+        t0 = time.perf_counter()
+        _get(port, shape)
+        dt = time.perf_counter() - t0
+        # generous for CI noise; the reference budget is ~10 ms/query on
+        # a warm snapshot — queries must never rebuild it synchronously
+        assert dt < 0.25, (shape, dt)
+
+
+def test_api_request_size_limit(api_app):
+    port = api_app["port"]
+    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    s.sendall(b"GET /?find_hex=" + b"a" * 20000 + b" HTTP/1.1\r\n\r\n")
+    resp = s.recv(4096)
+    assert b"413" in resp
+    s.close()
+
+
+def test_api_unix_socket(tmp_path_factory):
+    """--net-api-port with a path listens on a unix socket (api.c:1967)."""
+    import asyncio
+
+    from readsb_tpu.app.config import parse_args
+    from readsb_tpu.app.main import App
+    from readsb_tpu.io.api import ApiServer
+
+    sock_path = str(tmp_path_factory.mktemp("apisock") / "api.sock")
+    app = App(parse_args(["--net-only", "--quiet", "--lat", "47.0", "--lon", "8.0"]))
+
+    async def go():
+        srv = ApiServer(app)
+        await srv.listen_unix(sock_path)
+        app.api_server = srv
+        reader, writer = await asyncio.open_unix_connection(sock_path)
+        writer.write(b"GET /?status HTTP/1.1\r\n\r\n")
+        await writer.drain()
+        head = await reader.readuntil(b"\r\n\r\n")
+        assert b"200 OK" in head
+        clen = int(
+            [l for l in head.split(b"\r\n") if l.lower().startswith(b"content-length")][0]
+            .split(b":")[1]
+        )
+        body = await reader.readexactly(clen)
+        assert json.loads(body)["status"] == "ok"
+        writer.close()
+        srv.server.close()
+
+    asyncio.run(go())

@@ -93,3 +93,36 @@ def test_soapy_queue_shares_rtl_shedding():
         assert src.dropped_buffers == 20 - src.queue.maxsize
 
     asyncio.run(go())
+
+
+def test_long_tail_backends_unavailable_is_clean():
+    """hackrf/bladerf/pluto backends fail with a clear error when their
+    native libraries are absent (VERDICT r3 #10: no silent misconfig)."""
+    from readsb_tpu.io.sdr import BladeRfSource, HackRfSource, PlutoSource
+
+    for cls, word in ((HackRfSource, "libhackrf"), (BladeRfSource, "libbladeRF"),
+                      (PlutoSource, "libiio")):
+        if cls.available():
+            continue  # host actually has the library; open() path is live
+        try:
+            cls().open()
+        except RuntimeError as e:
+            assert word in str(e) and "ifile" in str(e)
+        else:
+            raise AssertionError(f"{cls.__name__}.open() must raise cleanly")
+
+
+def test_long_tail_cli_options_parse():
+    from readsb_tpu.app.config import parse_args
+
+    a = parse_args([
+        "--net-only", "--hackrf-enable-ampgain", "--hackrf-vgagain", "40",
+        "--bladerf-fpga", "/tmp/x.rbf", "--bladerf-decimation", "2",
+        "--bladerf-bandwidth", "bypass", "--pluto-uri", "usb:1.2.5",
+        "--pluto-network", "pluto.local", "--soapy-gain-element", "LNA:20",
+        "--dump-beast", "/tmp/d,45",
+    ])
+    assert a.hackrf_vgagain == 40 and a.bladerf_decimation == 2
+    assert a.dump_beast_dir == "/tmp/d" and a.dump_beast_interval == 45.0
+    for dt in ("hackrf", "bladerf", "plutosdr"):
+        assert parse_args(["--device-type", dt]).device_type == dt
