@@ -142,15 +142,18 @@ def run():
     int(c)
     mark("measurement program warm")
     reps = 10
-    best = float("inf")
-    for _ in range(3):
+    runs = []
+    for _ in range(5):
         c = jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(reps):
             c = chain(c, **margs)
         int(c)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    net = max(best - ovh, 1e-9)
+        runs.append((time.perf_counter() - t0) / reps)
+    runs.sort()
+    med = runs[len(runs) // 2]  # median, not best-of (relay variance ~15%)
+    mark(f"runs ms: {[round(r*1e3,2) for r in runs]} (median reported)")
+    net = max(med - ovh, 1e-9)
     msps = total / net / 1e6
 
     # ---- HEADLINE: print the moment it exists; extras follow ----------------

@@ -94,13 +94,22 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
         shard = os.path.join(tdir, hexid[-2:])
         os.makedirs(shard, exist_ok=True)
 
-        states = tr.full()
-        mark_legs(states)
+        # incremental render: cold chunks come from the per-chunk rows
+        # cache (traceCache analog, json_out.c:1501-1726); only warm
+        # chunks + live points reassemble, leg-mark and render per write
+        from ..track.traces import render_full_cached, trace_rows
+
+        rows_cold, warm_states, reference_ts = render_full_cached(tr, now)
+        mark_legs(warm_states)
 
         # --json-trace-hist-only mask: 1 skips recent, 2 skips full
         # (globe_index.c:494-546); globe-history archiving is unaffected
         if not hist_only & 1:
-            recent = states[-TRACE_RECENT_POINTS:]
+            recent = (
+                warm_states[-TRACE_RECENT_POINTS:]
+                if len(warm_states) >= TRACE_RECENT_POINTS
+                else tr.full()[-TRACE_RECENT_POINTS:]
+            )
             doc = trace_json(a, recent, now)
             _atomic_write(
                 os.path.join(shard, f"trace_recent_{hexid}.json"),
@@ -108,7 +117,8 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
             )
             TRACE_WRITES["recent"] += 1
         if not hist_only & 2:
-            doc_full = trace_json(a, states, now)
+            doc_full = trace_json(a, [], now, reference_ts=reference_ts)
+            doc_full["trace"] = rows_cold + trace_rows(warm_states, reference_ts)
             _atomic_write(
                 os.path.join(shard, f"trace_full_{hexid}.json"),
                 gzip.compress(json.dumps(doc_full, separators=(",", ":")).encode(), 5),

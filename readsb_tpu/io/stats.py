@@ -539,9 +539,11 @@ def generate_prom(app, now_ms: int) -> str:
             if a.trace is not None:
                 cur += len(a.trace.points) * 24
                 chunk += sum(len(ch) for ch in a.trace.chunks)
+        from ..track.traces import render_cache_memory
+
         m("readsb_trace_current_memory", cur, "trace memory (bytes)", "gauge")
         m("readsb_trace_chunk_memory", chunk)
-        m("readsb_trace_cache_memory", 0)
+        m("readsb_trace_cache_memory", render_cache_memory())
 
     m("readsb_uptime", int((time.time() - app.start_time) * 1000),
       "process uptime (ms)", "gauge")

@@ -160,7 +160,7 @@ class Trace:
     """Committed + buffered trace of one aircraft."""
 
     __slots__ = ("points", "chunks", "chunk_meta", "buffered", "len_total",
-                 "dirty", "next_marker")
+                 "dirty", "next_marker", "__weakref__")
 
     def __init__(self):
         self.points: list[State] = []
@@ -704,3 +704,71 @@ def trace_json(a, states: list[State], now: int, reference_ts: int = 0) -> dict:
     doc["timestamp"] = round(reference_ts / 1000.0, 3)
     doc["trace"] = trace_rows(states, reference_ts)
     return doc
+
+
+# ---------------------------------------------------------------------------
+# Incremental trace-render cache (traceCache, json_out.c:1501-1726)
+# ---------------------------------------------------------------------------
+#
+# The reference caches rendered JSON fragments so a trace write only
+# renders what changed.  Here the cached unit is the per-chunk rows list
+# (chunks are immutable once frozen): a chunk whose last point is older
+# than TRACE_CACHE_COLD_MS renders once per (chunk, reference_ts) and is
+# reused until pruned.  Leg markers inside a cold cached chunk are
+# computed per segment rather than over the whole reassembled history
+# (the reference recomputes legs globally each write, globe_index.c:1016);
+# a leg boundary that falls exactly on a cold-chunk edge may therefore
+# differ until the neighbouring data also goes cold — the flag is
+# advisory display metadata, and freezing it is what makes 10k-aircraft
+# sweeps affordable in Python.
+
+import weakref
+
+TRACE_CACHE_COLD_MS = 30 * 60 * 1000
+_RENDER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def render_cache_memory() -> int:
+    """Rough bytes held by the render cache (readsb_trace_cache_memory)."""
+    total = 0
+    for cache in _RENDER_CACHE.values():
+        for _ref, rows in cache.values():
+            total += 64 * len(rows)
+    return total
+
+
+def render_full_cached(tr: Trace, now: int) -> tuple[list, list, int]:
+    """(rows_cold, warm_states, reference_ts): cold chunks from the cache,
+    warm chunks + live points reassembled for fresh rendering; the caller
+    runs mark_legs over warm_states and appends trace_rows of them."""
+    metas = list(tr.chunk_meta)
+    reference_ts = (
+        metas[0][1] if metas else (tr.points[0].timestamp if tr.points else now)
+    )
+    cache = _RENDER_CACHE.get(tr)
+    if cache is None:
+        cache = {}
+        _RENDER_CACHE[tr] = cache
+    # drop entries for pruned chunks
+    live = set(metas)
+    for k in [k for k in cache if k not in live]:
+        del cache[k]
+
+    cold_limit = now - TRACE_CACHE_COLD_MS
+    rows_cold: list = []
+    warm_states: list[State] = []
+    dctx = zstandard.ZstdDecompressor()
+    for blob, meta in zip(tr.chunks, tr.chunk_meta):
+        if meta[2] <= cold_limit and not warm_states:
+            ent = cache.get(meta)
+            if ent is None or ent[0] != reference_ts:
+                states = pickle.loads(dctx.decompress(blob))
+                mark_legs(states)
+                ent = (reference_ts, trace_rows(states, reference_ts))
+                cache[meta] = ent
+            rows_cold.extend(ent[1])
+        else:
+            # once a warm chunk appears, everything after is fresh too
+            warm_states.extend(pickle.loads(dctx.decompress(blob)))
+    warm_states.extend(tr.points)
+    return rows_cold, warm_states, reference_ts
