@@ -469,6 +469,30 @@ class App:
         )
         await self._run_sdr_source(src, "sc16")
 
+    def _note_timing(self, demod) -> None:
+        """SDR clock-drift PPM estimation (timingStatistics,
+        readsb.c:754-806): compare the 12 MHz sample clock's elapsed time
+        against the system clock every ~30 s of stream."""
+        import time as _t
+
+        now_us = _t.monotonic_ns() // 1000
+        sample_ts = demod.scan_global * 5  # 12 MHz units
+        st = getattr(self, "_ppm_state", None)
+        if st is None:
+            self._ppm_state = [now_us, sample_ts]
+            return
+        elapsed_sys = now_us - st[0]
+        if elapsed_sys > 30_000_000:
+            elapsed_sample = sample_ts - st[1]
+            freq_ratio = elapsed_sample / (elapsed_sys * 12.0)
+            self.estimated_ppm = (freq_ratio - 1) * 1e6
+            if abs(self.estimated_ppm) > 600:
+                log.warning(
+                    "SDR ppm out of specification or clock jumped: %.0f",
+                    self.estimated_ppm,
+                )
+            self._ppm_state = [now_us, sample_ts]
+
     async def _run_sdr_source(self, src, fmt: str) -> None:
         from ..pipeline import Demodulator
 
@@ -504,6 +528,7 @@ class App:
                 for fr in frames:
                     self.handle_frame(fr)
                 self._drain_modeac(demod)
+                self._note_timing(demod)
                 if src.dropped_buffers:
                     self.stats_collector.note_sdr_drops(src.dropped_buffers)
                     src.dropped_buffers = 0

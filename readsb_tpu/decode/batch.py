@@ -42,7 +42,7 @@ def _bits(msg: np.ndarray, first: int, last: int) -> np.ndarray:
         byte = b // 8
         hi = b % 8  # bits already consumed in this byte
         take = min(8 - hi, l0 - b)
-        chunk = (msg[:, byte].astype(np.int64) >> (8 - hi - take)) & ((1 << take) - 1)
+        chunk = (msg[:, byte].astype(np.int64, copy=False) >> (8 - hi - take)) & ((1 << take) - 1)
         out = (out << take) | chunk
         b += take
         got += take
@@ -92,7 +92,9 @@ def decode_columns(
     boolean masks; invalid entries hold zeros.
     """
     n = len(msgs)
-    df = (msgs[:, 0] >> 3).astype(np.int64)
+    msgs_u8 = msgs
+    msgs = msgs.astype(np.int64)  # one widening; every _bits call reuses it
+    df = msgs[:, 0] >> 3
     out = {
         "df": df,
         "ts": timestamps,

@@ -249,3 +249,25 @@ def test_snip_matches_scalar_reference():
     fout = io.BytesIO()
     snip_mode(25, fin=Dribble(data), fout=fout)
     assert fout.getvalue() == scalar(25)
+
+
+def test_sdr_ppm_estimator():
+    """timingStatistics analog (readsb.c:754-806): sample clock vs wall."""
+    import time as _t
+
+    from readsb_tpu.app.config import parse_args
+    from readsb_tpu.app.main import App
+
+    app = App(parse_args(["--net-only", "--quiet"]))
+
+    class _D:
+        scan_global = 0
+
+    d = _D()
+    app._note_timing(d)  # arms the state
+    # pretend 31 s elapsed and the sample clock ran 100 ppm fast
+    now_us = _t.monotonic_ns() // 1000
+    app._ppm_state = [now_us - 31_000_000, 0]
+    d.scan_global = int(31_000_000 * 12 * 1.0001 / 5)
+    app._note_timing(d)
+    assert abs(app.estimated_ppm - 100.0) < 5.0
