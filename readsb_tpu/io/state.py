@@ -246,11 +246,26 @@ def save_state(tracker: Tracker, directory: str, now_ms: int) -> int:
 
 
 def load_state(tracker: Tracker, directory: str) -> int:
-    """Parallel-loadable startup restore (readInternalState analog)."""
+    """Parallel-loadable startup restore (readInternalState analog).
+
+    GC is paused for the bulk reconstruction: allocating 10^5..10^6
+    objects with a large live heap otherwise triggers quadratic
+    collector scans (observed 2.6x load-time inflation mid-suite)."""
+    import gc
     import pickle
 
     import zstandard
 
+    gc_was = gc.isenabled()
+    gc.disable()
+    try:
+        return _load_state_inner(tracker, directory, pickle, zstandard)
+    finally:
+        if gc_was:
+            gc.enable()
+
+
+def _load_state_inner(tracker: Tracker, directory: str, pickle, zstandard) -> int:
     n = 0
     for blob in range(STATE_BLOBS):
         path = os.path.join(directory, f"blob_{blob:02d}.bin.zst")
