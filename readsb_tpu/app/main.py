@@ -1497,6 +1497,19 @@ class App:
             asyncio.get_event_loop().call_later(
                 self.args.auto_exit, self._exit_event.set
             )
+        if "provokeSegfault" in (self.args.devel or []):
+            # fault injection (--devel=provokeSegfault, readsb.c:2831-2836):
+            # deliberately crash shortly after startup so crash handling /
+            # supervisor restart paths can be exercised
+            import threading as _th
+
+            def _provoke():
+                time.sleep(1.0)
+                import ctypes as _ct
+
+                _ct.string_at(0)  # NULL dereference
+
+            _th.Thread(target=_provoke, daemon=True).start()
         periodic = asyncio.ensure_future(self.run_periodic())
         try:
             if self.args.device_type == "ifile":

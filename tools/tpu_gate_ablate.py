@@ -227,3 +227,10 @@ timeit("+classify+keep", mk(("class", "keep")))
 timeit("+classify+keep+drops", mk(("class", "keep", "drops")))
 timeit("+ALL", mk(("class", "teach", "keep", "drops")))
 mark("done")
+
+# NOTE (r4): the "+classify" composition — extract_syndromes_pallas feeding
+# a (K, 5, T) broadcast-compare chain — reproducibly crashes the TPU worker
+# process on two separate sessions ("kernel fault"), while the production
+# program containing the same math (pipeline._demod_and_gate_multi_raw)
+# runs fine.  Likely an XLA fusion across the pallas custom-call boundary;
+# kept here as a reproducer, do not run on a chip you need soon.
