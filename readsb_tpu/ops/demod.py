@@ -332,6 +332,49 @@ def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
     return offsets, jnp.max(counts)
 
 
+def _compact_two_level_sort(cand: jax.Array, k: int, l: int, scan_len: int):
+    """Sort-based variant of _compact_two_level: per-block candidate
+    offsets via one lax.sort of (offset-or-sentinel) keys instead of the
+    triangular matmul + one-hot contraction.  Bit-identical outputs
+    (tests/test_demod.py::test_compaction_variants_equal)."""
+    blk = _COMPACT_BLK
+    nb = (scan_len + blk - 1) // blk
+    pad = nb * blk - scan_len
+    c2 = jnp.pad(cand, (0, pad)).reshape(nb, blk)
+    i_iota = jnp.arange(blk, dtype=jnp.int32)
+    key = jnp.where(c2, i_iota[None, :], jnp.int32(blk))
+    skey = jnp.sort(key, axis=1)[:, :l]  # ascending candidate offsets
+    counts = jnp.sum(c2, axis=1, dtype=jnp.int32)
+    block_excl = jnp.cumsum(counts) - counts
+    starts = jnp.zeros(k + 1, jnp.int32)
+    starts = starts.at[jnp.minimum(block_excl, k)].max(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
+    )
+    blk_of_rank = jax.lax.cummax(starts[:k])
+    rank = jnp.arange(k, dtype=jnp.int32)
+    local_rank = rank - block_excl[blk_of_rank]
+    off = skey[blk_of_rank, jnp.minimum(local_rank, l - 1)]
+    total = jnp.sum(counts)
+    offsets = jnp.where(rank < total, blk_of_rank * blk + off, scan_len)
+    return offsets, jnp.max(counts)
+
+
+def _compact_topk(cand: jax.Array, k: int, l: int, scan_len: int):
+    """Gather-free compaction: one lax.top_k over inverted offset keys.
+
+    The two-level variants end in a (K,)-sized random gather
+    (skey[blk_of_rank, local_rank]) that is latency-bound on TPU (the
+    measured ~3.4 ms marginal cost of the stage); top_k produces the
+    ascending candidate offsets directly.  max_local is reported as 0
+    (no per-block capacity exists in this formulation).
+    """
+    pos = jnp.arange(scan_len, dtype=jnp.int32)
+    key = jnp.where(cand, scan_len - pos, 0)
+    vals = jax.lax.top_k(key, k)[0]  # descending keys = ascending offsets
+    offsets = jnp.where(vals > 0, scan_len - vals, scan_len)
+    return offsets, jnp.int32(0)
+
+
 class BlockCandidates(NamedTuple):
     """Device outputs of one demodulated block (fixed-size, K candidates)."""
 

@@ -59,3 +59,32 @@ def test_stats_counters(capture_small, reference_binary):
     assert st.preambles == ref_preambles
     assert st.accepted[0] == accepted[0]
     assert st.accepted[1] == accepted[1] if len(accepted) > 1 else True
+
+
+def test_compaction_variants_equal():
+    """Sort-based compaction == matmul/one-hot compaction, bit for bit."""
+    import jax.numpy as jnp
+
+    from readsb_tpu.ops.demod import _compact_two_level, _compact_two_level_sort
+
+    rng = __import__("numpy").random.default_rng(3)
+    for density, l in ((0.01, 16), (0.05, 64), (0.0, 16)):
+        scan = 131072 + 17
+        cand = jnp.asarray(rng.random(scan) < density)
+        o1, m1 = _compact_two_level(cand, 4096, l, scan)
+        o2, m2 = _compact_two_level_sort(cand, 4096, l, scan)
+        assert (np.asarray(o1) == np.asarray(o2)).all()
+        assert int(m1) == int(m2)
+
+
+def test_compaction_topk_equal():
+    import jax.numpy as jnp
+
+    from readsb_tpu.ops.demod import _compact_topk, _compact_two_level
+
+    rng = np.random.default_rng(9)
+    scan = 100_000
+    cand = jnp.asarray(rng.random(scan) < 0.02)
+    o1, _ = _compact_two_level(cand, 4096, 64, scan)
+    o2, _ = _compact_topk(cand, 4096, 64, scan)
+    assert (np.asarray(o1) == np.asarray(o2)).all()
