@@ -211,3 +211,24 @@ def test_stats_json_windows(app_run):
     assert tot["cpr"]["global_ok"] > 0
     assert tot["tracks"]["all"] >= 3
     assert tot["local"]["signal"] < 0  # dBFS, negative
+
+
+def test_devel_provoke_segfault():
+    """--devel=provokeSegfault crashes shortly after start
+    (readsb.c:2831-2836) so supervisor restart paths can be exercised."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "readsb_tpu.app.main",
+         "--net-only", "--quiet", "--devel", "provokeSegfault"],
+        cwd=str(REPO), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env={**os.environ, "PYTHONPATH": str(REPO)},
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and proc.poll() is None:
+        time.sleep(0.3)
+    assert proc.poll() is not None, "app must have crashed"
+    assert proc.returncode != 0
