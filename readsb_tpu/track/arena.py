@@ -8,24 +8,26 @@ TPU-native redesign splits the work:
           O(1) per message) and batches per-message field updates into SoA
           tensors;
   device  owns the state (structure-of-arrays over N slots) and applies a
-          whole batch per dispatch with vectorized accept_data semantics
-          (track.c:128-221) via segment-argmax, plus the staleness sweep
+          whole batch per dispatch, plus the staleness sweep
           (track.c:2948) as a masked bulk clear.
 
-Batch-exactness: within one batch the serial accept_data fold over a
-slot's messages ends in the state of the *latest message of the highest
-source* (acceptance requires src >= current, so accepted sources are
-non-decreasing).  That equivalence needs the batch to span less than
-TRACK_STALE (15 s) of message time — otherwise staleness could re-admit a
-lower source mid-batch — so update_batch auto-splits on that window
-(production batches are single superblocks of a few seconds anyway).
-tests/test_arena.py replays the same stream through the dict tracker and
-diffs final states.
+v2 execution model: the host ranks each message within its slot (message
+ordinal r); the device runs a `lax.scan` over rounds — round r applies at
+most ONE message per slot as vectorized masked scatters, so the serial
+per-aircraft fold of trackUpdateFromMessage is reproduced EXACTLY (the
+round decomposition the columnar host tracker uses, track/bulk.py, moved
+on-device).  This removes v1's batch-span caveat and lets the
+field-specific accept rules run on-device:
 
-Scope (v1): plain accept_data scalar fields + callsign + counters + seen
-+ staleness sweep.  Field-specific logic (altitude outliers, squawk
-double-confirmation, the CPR/speed-check position chain) stays in the
-host tracker; those land on-device in a later round.
+  - plain accept_data lattice fields (track.c:128-221)
+  - baro-altitude outlier rejection (updateAltitude, track.c:1709-1813):
+    reliability score + implied-fpm window from the known vertical rate
+  - squawk double-confirmation (track.c:2071-2092) incl. the DF5/21 seed
+  - callsign + counters + seen
+
+The CPR position chain stays host-side (f64; SURVEY build-plan note).
+tests/test_arena.py replays fuzzed streams (altitude excursions, squawk
+churn) through the dict tracker and diffs final states field for field.
 """
 
 from __future__ import annotations
@@ -40,10 +42,9 @@ import numpy as np
 from .tracker import TRACK_EXPIRE, TRACK_STALE, Source
 
 ARENA_SLOTS = 1 << 17
+_NEVER = -(1 << 30)
 
 # plain-accept scalar fields mirrored on device (tracker.py update()).
-# Fields with message-type dispatch or extra logic (track/heading family,
-# altitudes, squawk double-confirm) remain host-side in v1.
 FIELDS = (
     "gs",
     "track_rate",
@@ -59,6 +60,8 @@ FIELD_IDX = {name: i for i, name in enumerate(FIELDS)}
 # message attribute carrying each field (tracker.py reads gs_selected)
 ATTR_OF = {name: name for name in FIELDS}
 ATTR_OF["gs"] = "gs_selected"
+_J_BR = FIELD_IDX["baro_rate"]
+_J_GR = FIELD_IDX["geom_rate"]
 
 
 class ArenaState(NamedTuple):
@@ -66,11 +69,21 @@ class ArenaState(NamedTuple):
     seen: jax.Array  # int32[N] ms of last message
     messages: jax.Array  # int32[N]
     fval: jax.Array  # f32[N, F]
-    fts: jax.Array  # int32[N, F] ms of last accept
+    fts: jax.Array  # int32[N, F] ms of last accept (_NEVER = unset)
     fsrc: jax.Array  # int32[N, F] Source enum, -1 = invalid
     callsign: jax.Array  # int32[N, 2] 8 chars packed big-endian
     cs_ts: jax.Array  # int32[N]
     cs_src: jax.Array  # int32[N]
+    # baro altitude + outlier score (updateAltitude)
+    alt: jax.Array  # int32[N] feet
+    alt_ts: jax.Array  # int32[N]
+    alt_src: jax.Array  # int32[N]
+    alt_rel: jax.Array  # int32[N] reliability 0..20
+    # squawk + double-confirmation tentative; -1 = unset
+    squawk: jax.Array  # int32[N]
+    sq_ts: jax.Array  # int32[N]
+    sq_src: jax.Array  # int32[N]
+    sq_tent: jax.Array  # int32[N]
 
 
 def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
@@ -79,11 +92,19 @@ def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
         seen=jnp.zeros(n, jnp.int32),
         messages=jnp.zeros(n, jnp.int32),
         fval=jnp.zeros((n, NFIELDS), jnp.float32),
-        fts=jnp.zeros((n, NFIELDS), jnp.int32),
+        fts=jnp.full((n, NFIELDS), _NEVER, jnp.int32),
         fsrc=jnp.full((n, NFIELDS), -1, jnp.int32),
         callsign=jnp.zeros((n, 2), jnp.int32),
-        cs_ts=jnp.zeros(n, jnp.int32),
+        cs_ts=jnp.full(n, _NEVER, jnp.int32),
         cs_src=jnp.full(n, -1, jnp.int32),
+        alt=jnp.zeros(n, jnp.int32),
+        alt_ts=jnp.full(n, _NEVER, jnp.int32),
+        alt_src=jnp.full(n, -1, jnp.int32),
+        alt_rel=jnp.zeros(n, jnp.int32),
+        squawk=jnp.full(n, -1, jnp.int32),
+        sq_ts=jnp.full(n, _NEVER, jnp.int32),
+        sq_src=jnp.full(n, -1, jnp.int32),
+        sq_tent=jnp.full(n, -1, jnp.int32),
     )
 
 
@@ -91,6 +112,7 @@ class UpdateBatch(NamedTuple):
     """SoA message batch (M rows); host fills from decoded messages."""
 
     slot: jax.Array  # int32[M] arena slot (host-assigned); -1 = padding
+    rank: jax.Array  # int32[M] message ordinal within its slot
     icao: jax.Array  # int32[M]
     ts: jax.Array  # int32[M] ms
     src: jax.Array  # int32[M] Source enum
@@ -98,84 +120,173 @@ class UpdateBatch(NamedTuple):
     fval: jax.Array  # f32[M, F]
     cs_valid: jax.Array  # bool[M]
     cs: jax.Array  # int32[M, 2]
+    alt_valid: jax.Array  # bool[M]
+    alt: jax.Array  # int32[M] feet
+    alt_q: jax.Array  # bool[M] AC q bit
+    crc0: jax.Array  # bool[M] mm.crc == 0
+    sq_valid: jax.Array  # bool[M]
+    sq: jax.Array  # int32[M] squawk hex
+    sq_seed: jax.Array  # bool[M] DF5/21 (identity reply seeds immediately)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def arena_update(state: ArenaState, b: UpdateBatch) -> ArenaState:
-    """Apply one message batch (vectorized accept_data)."""
+def _scatter(base, slot, mask, vals, fill):
+    """One-row-per-slot scatter of this round's values; unset -> fill."""
+    n = base.shape[0]
+    sl = jnp.where(mask, slot, n)
+    out = jnp.full(base.shape, fill, base.dtype)
+    return out.at[sl].set(vals, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0,))
+def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
+    """Apply one message batch: lax.scan over per-slot message ordinals."""
     n = state.icao.shape[0]
-    m = b.slot.shape[0]
     live = b.slot >= 0
-    slot = jnp.where(live, b.slot, n)  # padding rows scatter off the end
-    seq = jnp.arange(m, dtype=jnp.int32)
+    slot_all = jnp.where(live, b.slot, n)
 
-    # --- bookkeeping: icao registration, seen, message count ----------------
-    icao = state.icao.at[slot].set(jnp.where(live, b.icao, 0), mode="drop")
-    seen = state.seen.at[slot].max(jnp.where(live, b.ts, 0), mode="drop")
-    messages = state.messages.at[slot].add(live.astype(jnp.int32), mode="drop")
+    # --- bookkeeping (order-independent) ------------------------------------
+    icao = state.icao.at[slot_all].set(jnp.where(live, b.icao, 0), mode="drop")
+    seen = state.seen.at[slot_all].max(jnp.where(live, b.ts, 0), mode="drop")
+    messages = state.messages.at[slot_all].add(live.astype(jnp.int32), mode="drop")
 
-    # --- scalar fields: winner = latest message of the highest source -------
-    def lattice(cur_val, cur_ts, cur_src, umask, uval):
-        """Generic accept_data merge.
+    def round_step(carry, r):
+        (fval, fts, fsrc, callsign, cs_ts, cs_src,
+         alt, alt_ts, alt_src, alt_rel, squawk, sq_ts, sq_src, sq_tent) = carry
+        mrow = live & (b.rank == r)
+        slot = jnp.where(mrow, b.slot, n)
 
-        cur_* are (N, ...) state planes keyed by cur_ts/cur_src of shape S
-        (= (N,) or (N, F)); umask is (M,)+S[1:]-shaped; uval matches
-        cur_val.  The winner per (slot, field) is the latest message of
-        the highest source; acceptance follows track.c:128-221.
-        """
-        shape_s = cur_ts.shape
-        extra = (1,) * (umask.ndim - 1)
-        bsrc = b.src.reshape((m,) + extra)
-        bseq = seq.reshape((m,) + extra)
-        bts = b.ts.reshape((m,) + extra)
+        # per-slot planes of this round's message (fill = inert)
+        u_src = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.src, -1)
+        u_ts = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.ts, _NEVER)
+        p_src = jnp.where(u_src == int(Source.PRIO), int(Source.ADSB), u_src)
 
-        neg1 = jnp.full(shape_s, -1, jnp.int32)
-        key_src = jnp.where(umask, bsrc, -1)
-        smax = neg1.at[slot].max(key_src, mode="drop")
-        is_max = umask & (key_src == smax[slot])
-        key_seq = jnp.where(is_max, bseq, -1)
-        qmax = neg1.at[slot].max(key_seq, mode="drop")
-        winner = is_max & (key_seq == qmax[slot])
+        def gate(cur_ts, cur_src, msrc=None):
+            """accept_data (track.c:128-221) for this round's message."""
+            s_ = u_src if msrc is None else msrc
+            ok = (s_ >= 1) & (u_ts >= cur_ts)
+            ok &= ~((s_ < cur_src) & (u_ts < cur_ts + TRACK_STALE))
+            return ok
 
-        w_ts = jnp.zeros(shape_s, jnp.int32).at[slot].max(
-            jnp.where(winner, bts, 0), mode="drop"
+        # --- altitude outlier logic FIRST (tracker update order: the alt
+        # decision reads rate state from strictly earlier messages) --------
+        a_have = _scatter(jnp.zeros(n, bool), slot, mrow & b.alt_valid,
+                          b.alt_valid, False)
+        a_val = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.alt, 0)
+        a_q = _scatter(jnp.zeros(n, bool), slot, mrow, b.alt_q, False)
+        a_crc0 = _scatter(jnp.zeros(n, bool), slot, mrow, b.crc0, False)
+        old = jnp.where(alt_src >= 0, alt, 0)
+        delta = a_val - old
+        big = jnp.abs(delta) >= 300
+        age_alt = jnp.maximum(0, u_ts - alt_ts)
+        # C trunc division: all quantities here are nonneg denominators
+        fpm = (delta * 600) // jnp.maximum(1, (age_alt // 100) + 10)
+        fpm = jnp.where(delta < 0, -((-delta * 600) // jnp.maximum(1, (age_alt // 100) + 10)), fpm)
+        fpm = jnp.where(big, fpm, 0)
+        gr_ok = (fsrc[:, _J_GR] >= 0) & (u_ts < fts[:, _J_GR] + TRACK_EXPIRE)
+        br_ok = (fsrc[:, _J_BR] >= 0) & (u_ts < fts[:, _J_BR] + TRACK_EXPIRE)
+        age_gr = jnp.maximum(0, u_ts - fts[:, _J_GR])
+        age_br = jnp.maximum(0, u_ts - fts[:, _J_BR])
+        use_gr = gr_ok & (age_gr < age_br)
+        use_br = ~use_gr & br_ok
+        slack_gr = 1500 + jnp.minimum(11000, age_gr // 2)
+        slack_br = 1500 + jnp.minimum(11000, age_br // 2)
+        gr_v = fval[:, _J_GR].astype(jnp.int32)
+        br_v = fval[:, _J_BR].astype(jnp.int32)
+        min_fpm = jnp.where(use_gr, gr_v - slack_gr,
+                            jnp.where(use_br, br_v - slack_br, -12500))
+        max_fpm = jnp.where(use_gr, gr_v + slack_gr,
+                            jnp.where(use_br, br_v + slack_br, 12500))
+        alt_fresh = (alt_src >= 0) & (u_ts < alt_ts + TRACK_EXPIRE) & (
+            age_alt < 30_000
         )
-        has = smax >= 1  # Source.INVALID (0) never accepts (track.c:130)
-        # accept_data gate (track.c:128-221): reject lower source unless
-        # the field has gone stale (15 s); never step timestamps backwards
-        accept = (
-            has
-            & ((smax >= cur_src) | (w_ts >= cur_ts + TRACK_STALE))
-            & (w_ts >= cur_ts)
+        decayed = jnp.where(
+            alt_fresh, jnp.minimum(20 - 20 * age_alt // 30_000, alt_rel), 0
         )
-        # PRIO is recorded as ADSB (track.c:213)
-        new_src = jnp.where(smax == int(Source.PRIO), int(Source.ADSB), smax)
-
-        if cur_val.dtype == jnp.float32:
-            vmin = jnp.float32(-jnp.inf)
-        else:
-            vmin = jnp.int32(-(2**31))
-        wmask = winner if cur_val.ndim == umask.ndim else winner[..., None]
-        w_val = jnp.full(cur_val.shape, vmin, cur_val.dtype).at[slot].max(
-            jnp.where(wmask, uval, vmin), mode="drop"
+        rel_now = jnp.where(a_have & big, decayed, alt_rel)
+        good_crc = jnp.where(
+            a_crc0 & ((u_src >= int(Source.JAERO)) | (u_src == int(Source.SBS))),
+            20, 0,
         )
-        amask = accept if cur_val.ndim == accept.ndim else accept[..., None]
-
-        return (
-            jnp.where(amask, w_val, cur_val),
-            jnp.where(accept, w_ts, cur_ts),
-            jnp.where(accept, new_src, cur_src),
+        good_crc = jnp.where(u_src == int(Source.MLAT), 9, good_crc)
+        qbad = (old > 50175) & a_q & (rel_now > 5)
+        accept_a = ~qbad & (
+            (good_crc >= rel_now) | (u_src > alt_src) | (rel_now <= 0)
+            | (jnp.abs(delta) < 300) | ((fpm > min_fpm) & (fpm < max_fpm))
         )
+        latt_a = a_have & accept_a & gate(alt_ts, alt_src)
+        alt_rel = jnp.where(
+            a_have & qbad, rel_now - 1,
+            jnp.where(
+                a_have & ~qbad & ~accept_a, rel_now - (good_crc + 1),
+                jnp.where(
+                    latt_a,
+                    jnp.clip(rel_now + good_crc + 1, 0, 20),
+                    rel_now,
+                ),
+            ),
+        )
+        alt = jnp.where(latt_a, a_val, alt)
+        alt_ts = jnp.where(latt_a, u_ts, alt_ts)
+        alt_src = jnp.where(latt_a, p_src, alt_src)
 
-    fval, fts, fsrc = lattice(state.fval, state.fts, state.fsrc, b.fmask, b.fval)
-    callsign, cs_ts, cs_src = lattice(
-        state.callsign, state.cs_ts, state.cs_src, b.cs_valid, b.cs
+        # --- plain lattice fields ------------------------------------------
+        u_fm = _scatter(jnp.zeros((n, NFIELDS), bool), slot, mrow, b.fmask, False)
+        u_fv = _scatter(jnp.zeros((n, NFIELDS), jnp.float32), slot, mrow, b.fval, 0.0)
+        ok_f = (
+            u_fm
+            & (u_src[:, None] >= 1)
+            & (u_ts[:, None] >= fts)
+            & ~((u_src[:, None] < fsrc) & (u_ts[:, None] < fts + TRACK_STALE))
+        )
+        fval = jnp.where(ok_f, u_fv, fval)
+        fts = jnp.where(ok_f, u_ts[:, None], fts)
+        fsrc = jnp.where(ok_f, p_src[:, None], fsrc)
+
+        # --- callsign ------------------------------------------------------
+        u_cm = _scatter(jnp.zeros(n, bool), slot, mrow, b.cs_valid, False)
+        u_cs = _scatter(jnp.zeros((n, 2), jnp.int32), slot, mrow, b.cs, 0)
+        ok_c = u_cm & gate(cs_ts, cs_src)
+        callsign = jnp.where(ok_c[:, None], u_cs, callsign)
+        cs_ts = jnp.where(ok_c, u_ts, cs_ts)
+        cs_src = jnp.where(ok_c, p_src, cs_src)
+
+        # --- squawk double-confirmation (track.c:2071-2092) ----------------
+        q_have = _scatter(jnp.zeros(n, bool), slot, mrow & b.sq_valid,
+                          b.sq_valid, False)
+        q_val = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.sq, -2)
+        q_seed = _scatter(jnp.zeros(n, bool), slot, mrow, b.sq_seed, False)
+        acc_q = gate(sq_ts, sq_src)
+        match = (squawk == q_val) | (sq_tent == q_val)
+        m1 = q_have & match & acc_q
+        squawk = jnp.where(m1, q_val, squawk)
+        sq_tent = jnp.where(m1, -1, sq_tent)
+        m2 = q_have & ~match
+        sq_tent = jnp.where(m2, q_val, sq_tent)
+        seed = m2 & (squawk == -1) & q_seed & acc_q
+        squawk = jnp.where(seed, q_val, squawk)
+        upd_q = m1 | seed
+        sq_ts = jnp.where(upd_q, u_ts, sq_ts)
+        sq_src = jnp.where(upd_q, p_src, sq_src)
+
+        return (fval, fts, fsrc, callsign, cs_ts, cs_src,
+                alt, alt_ts, alt_src, alt_rel,
+                squawk, sq_ts, sq_src, sq_tent), None
+
+    carry = (state.fval, state.fts, state.fsrc, state.callsign,
+             state.cs_ts, state.cs_src, state.alt, state.alt_ts,
+             state.alt_src, state.alt_rel, state.squawk, state.sq_ts,
+             state.sq_src, state.sq_tent)
+    carry, _ = jax.lax.scan(
+        round_step, carry, jnp.arange(rounds, dtype=jnp.int32)
     )
-
+    (fval, fts, fsrc, callsign, cs_ts, cs_src, alt, alt_ts, alt_src,
+     alt_rel, squawk, sq_ts, sq_src, sq_tent) = carry
     return ArenaState(
         icao=icao, seen=seen, messages=messages,
         fval=fval, fts=fts, fsrc=fsrc,
         callsign=callsign, cs_ts=cs_ts, cs_src=cs_src,
+        alt=alt, alt_ts=alt_ts, alt_src=alt_src, alt_rel=alt_rel,
+        squawk=squawk, sq_ts=sq_ts, sq_src=sq_src, sq_tent=sq_tent,
     )
 
 
@@ -196,11 +307,19 @@ def arena_sweep(state: ArenaState, now_ms, ttl_ms) -> tuple[ArenaState, jax.Arra
         seen=clr(state.seen, 0),
         messages=clr(state.messages, 0),
         fval=clr(state.fval, 0),
-        fts=clr(state.fts, 0),
+        fts=clr(state.fts, _NEVER),
         fsrc=clr(state.fsrc, -1),
         callsign=clr(state.callsign, 0),
-        cs_ts=clr(state.cs_ts, 0),
+        cs_ts=clr(state.cs_ts, _NEVER),
         cs_src=clr(state.cs_src, -1),
+        alt=clr(state.alt, 0),
+        alt_ts=clr(state.alt_ts, _NEVER),
+        alt_src=clr(state.alt_src, -1),
+        alt_rel=clr(state.alt_rel, 0),
+        squawk=clr(state.squawk, -1),
+        sq_ts=clr(state.sq_ts, _NEVER),
+        sq_src=clr(state.sq_src, -1),
+        sq_tent=clr(state.sq_tent, -1),
     )
     return ns, dead
 
@@ -226,24 +345,20 @@ class Arena:
         msgs = list(msgs)
         if not msgs:
             return
-        # the argmax fold is serial-exact only within a < TRACK_STALE span
-        t0 = msgs[0].sys_timestamp_ms
-        span = TRACK_STALE // 2
-        if msgs[-1].sys_timestamp_ms - t0 >= span:
-            cut = next(
-                i for i, mm in enumerate(msgs)
-                if mm.sys_timestamp_ms - t0 >= span
-            )
-            self.update_batch(msgs[:cut])
-            self.update_batch(msgs[cut:])
-            return
         rows = []
+        rank_of: dict[int, int] = {}
         for mm in msgs:
             addr = mm.addr & 0xFFFFFF
-            rows.append((self._slot(addr), addr, mm))
+            s = self._slot(addr)
+            r = rank_of.get(s, 0)
+            rank_of[s] = r + 1
+            rows.append((s, r, addr, mm))
+        rounds = max(rank_of.values())
+        rounds = max(1, 1 << (rounds - 1).bit_length())  # pow2: bounded retraces
         m = len(rows)
         mpad = max(256, 1 << (m - 1).bit_length())
         slot = np.full(mpad, -1, np.int32)
+        rank = np.zeros(mpad, np.int32)
         icao = np.zeros(mpad, np.int32)
         ts = np.zeros(mpad, np.int32)
         src = np.zeros(mpad, np.int32)
@@ -251,8 +366,16 @@ class Arena:
         fval = np.zeros((mpad, NFIELDS), np.float32)
         cs_valid = np.zeros(mpad, bool)
         cs = np.zeros((mpad, 2), np.int32)
-        for i, (s, addr, mm) in enumerate(rows):
+        alt_valid = np.zeros(mpad, bool)
+        alt = np.zeros(mpad, np.int32)
+        alt_q = np.zeros(mpad, bool)
+        crc0 = np.zeros(mpad, bool)
+        sq_valid = np.zeros(mpad, bool)
+        sq = np.full(mpad, -2, np.int32)
+        sq_seed = np.zeros(mpad, bool)
+        for i, (s, r, addr, mm) in enumerate(rows):
             slot[i] = s
+            rank[i] = r
             icao[i] = addr
             ts[i] = mm.sys_timestamp_ms
             src[i] = int(mm.source)
@@ -267,12 +390,28 @@ class Arena:
                 cs_valid[i] = True
                 cs[i, 0] = int.from_bytes(raw[:4], "big", signed=False) - (1 << 31)
                 cs[i, 1] = int.from_bytes(raw[4:], "big", signed=False) - (1 << 31)
+            av = getattr(mm, "baro_alt", None)
+            if av is not None:
+                alt_valid[i] = True
+                alt[i] = int(av)
+                alt_q[i] = bool(getattr(mm, "alt_q_bit", 0))
+                crc0[i] = getattr(mm, "crc", 1) == 0
+            qv = getattr(mm, "squawk_hex", None)
+            if qv is not None:
+                sq_valid[i] = True
+                sq[i] = int(qv)
+                sq_seed[i] = getattr(mm, "msgtype", 0) in (5, 21)
         batch = UpdateBatch(
-            slot=jnp.asarray(slot), icao=jnp.asarray(icao), ts=jnp.asarray(ts),
+            slot=jnp.asarray(slot), rank=jnp.asarray(rank),
+            icao=jnp.asarray(icao), ts=jnp.asarray(ts),
             src=jnp.asarray(src), fmask=jnp.asarray(fmask), fval=jnp.asarray(fval),
             cs_valid=jnp.asarray(cs_valid), cs=jnp.asarray(cs),
+            alt_valid=jnp.asarray(alt_valid), alt=jnp.asarray(alt),
+            alt_q=jnp.asarray(alt_q), crc0=jnp.asarray(crc0),
+            sq_valid=jnp.asarray(sq_valid), sq=jnp.asarray(sq),
+            sq_seed=jnp.asarray(sq_seed),
         )
-        self.state = arena_update(self.state, batch)
+        self.state = arena_update(self.state, batch, rounds)
 
     def sweep(self, now_ms: int, ttl_ms: int = 5 * TRACK_EXPIRE) -> int:
         self.state, dead = arena_sweep(
@@ -307,5 +446,15 @@ class Arena:
                 row["callsign"] = (
                     b0.to_bytes(4, "big") + b1.to_bytes(4, "big")
                 ).decode().rstrip()
+            if st.alt_src[s] >= 0 and now_ms < st.alt_ts[s] + TRACK_EXPIRE:
+                row["baro_alt"] = (int(st.alt[s]), int(st.alt_src[s]))
+                row["alt_reliable"] = int(st.alt_rel[s])
+            if st.sq_src[s] >= 0:
+                row["squawk"] = (
+                    int(st.squawk[s]) if st.squawk[s] >= 0 else None,
+                    int(st.sq_src[s]),
+                )
+            if st.sq_tent[s] >= 0:
+                row["squawk_tentative"] = int(st.sq_tent[s])
             out[addr] = row
         return out

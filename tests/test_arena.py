@@ -80,3 +80,78 @@ def test_arena_sweep():
     assert freed == len({m.addr for m in msgs})
     assert not arena.slot_of
     assert arena.snapshot(now) == {}
+
+
+def test_arena_altitude_and_squawk_fuzz():
+    """Arena v2 on-device accept logic == dict tracker: altitude outlier
+    rejection (track.c:1709) and squawk double-confirmation (track.c:2071)
+    on a fuzzed stream with excursions, churn and mixed sources."""
+    rng = np.random.default_rng(17)
+    addrs = [0x4D0000 + i for i in range(25)]
+    alt_state = {a: 10_000 + 500 * i for i, a in enumerate(addrs)}
+    sq_state = {a: 0o1200 + i for i, a in enumerate(addrs)}
+    msgs = []
+    t = 2_000_000
+    for i in range(4000):
+        t += int(rng.integers(20, 200))
+        addr = addrs[int(rng.integers(len(addrs)))]
+        mm = ModesMessage(msgtype=17, addr=addr, source=Source.ADSB,
+                          sys_timestamp_ms=t)
+        k = rng.integers(10)
+        if k < 4:
+            # normal climb with occasional implausible excursion
+            alt_state[addr] += int(rng.integers(-200, 300))
+            mm.baro_alt = alt_state[addr]
+            if rng.random() < 0.08:
+                mm.baro_alt += int(rng.choice([-30000, 25000, 40000]))
+            mm.alt_q_bit = 1
+            mm.crc = 0 if rng.random() < 0.7 else 1
+            if rng.random() < 0.2:
+                mm.source = Source.MODE_S
+                mm.msgtype = 4
+        elif k < 6:
+            mm.baro_rate = int(rng.integers(-40, 40)) * 64
+        elif k < 8:
+            if rng.random() < 0.15:
+                sq_state[addr] = int(rng.integers(0, 0o7777))
+            mm.squawk_hex = int(oct(sq_state[addr])[2:], 16)
+            if rng.random() < 0.4:
+                mm.msgtype = 5
+                mm.source = Source.MODE_S
+        else:
+            mm.gs_selected = float(np.float32(rng.uniform(0, 600)))
+        msgs.append(mm)
+
+    tracker = Tracker()
+    for mm in msgs:
+        tracker.update(mm)
+
+    arena = Arena(n=2048)
+    i = 0
+    while i < len(msgs):
+        j = min(len(msgs), i + int(rng.integers(100, 900)))
+        arena.update_batch(msgs[i:j])
+        i = j
+
+    now = msgs[-1].sys_timestamp_ms
+    snap = arena.snapshot(now)
+    n_alt = n_sq = 0
+    for addr, a in tracker.aircraft.items():
+        row = snap[addr]
+        if a.baro_alt_valid.source != Source.INVALID and isinstance(a.baro_alt, int):
+            got = row.get("baro_alt")
+            assert got is not None, hex(addr)
+            assert got[0] == a.baro_alt, (hex(addr), got, a.baro_alt)
+            assert got[1] == int(a.baro_alt_valid.source)
+            assert row["alt_reliable"] == a.alt_reliable, hex(addr)
+            n_alt += 1
+        sq = row.get("squawk")
+        assert (sq[0] if sq else None) == a.squawk, hex(addr)
+        assert row.get("squawk_tentative") == a.squawk_tentative, hex(addr)
+        if a.squawk is not None:
+            n_sq += 1
+    assert n_alt >= 20 and n_sq >= 15
+    # outliers were actually rejected somewhere (reliability dipped)
+    assert any(
+        row.get("alt_reliable", 20) < 20 for row in snap.values()
+    )
