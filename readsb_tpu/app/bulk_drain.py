@@ -212,6 +212,7 @@ def materialize(app, now: int) -> None:
     rel_l = col("alt_reliable")
     sq_l, sq_ts_l, sq_src_l = col("squawk"), col("squawk_ts"), col("squawk_src")
     sqt_l = col("squawk_tent")
+    sqtt_l = col("squawk_tent_ts")
     cs_b = c.cs[act]
     cs_ts_l, cs_src_l = col("cs_ts"), col("cs_src")
     ag_l, ag_ts_l, ag_src_l = col("ag"), col("ag_ts"), col("ag_src")
@@ -251,10 +252,12 @@ def materialize(app, now: int) -> None:
             v.source = v.last_source = SRC[alt_src_l[k]]
         if sq_src_l[k] != INV and sq_ts_l[k] > a.squawk_valid.updated:
             a.squawk = sq_l[k] if sq_l[k] >= 0 else None
-            a.squawk_tentative = sqt_l[k] if sqt_l[k] >= 0 else None
             v = a.squawk_valid
             v.updated = sq_ts_l[k]
             v.source = v.last_source = SRC[sq_src_l[k]]
+        if sqt_l[k] >= 0 and sqtt_l[k] > a.squawk_tentative_changed:
+            a.squawk_tentative = sqt_l[k]
+            a.squawk_tentative_changed = sqtt_l[k]
         if cs_src_l[k] != INV and cs_ts_l[k] > a.callsign_valid.updated:
             a.callsign = bytes(cs_b[k]).decode("latin1").rstrip("\x00").rstrip()
             v = a.callsign_valid

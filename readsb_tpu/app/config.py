@@ -29,10 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     # --- source
     p.add_argument("--device-type",
                    choices=["ifile", "rtlsdr", "soapy", "modesbeast",
-                            "hackrf", "bladerf", "plutosdr", "none"],
+                            "gnshulc", "hackrf", "bladerf", "ubladerf",
+                            "plutosdr", "none"],
                    default="none",
                    help="sample source (ifile=IQ replay, rtlsdr=USB dongle, "
-                        "soapy=SoapySDR device, modesbeast=Beast serial receiver)")
+                        "soapy=SoapySDR device, modesbeast=Beast serial "
+                        "receiver, gnshulc=GNS5894/HULC serial receiver, "
+                        "ubladerf=bladeRF 2.0 Micro; handler table "
+                        "sdr.c:94-122)")
     p.add_argument("--device", default="0",
                    help="rtl-sdr device index or serial string")
     p.add_argument("--gain", type=float, default=None,
@@ -66,7 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PlutoSDR network context host (default pluto.local)")
     p.add_argument("--beast-serial", default="/dev/ttyUSB0",
                    help="Beast serial port path")
-    p.add_argument("--beast-baudrate", type=int, default=3_000_000)
+    p.add_argument("--beast-baudrate", type=int, default=0,
+                   help="serial baudrate override (0 = auto: 3000000 for "
+                        "modesbeast, 921600 for gnshulc; sdr_beast.c:126-171)")
     p.add_argument("--beast-mlat-off", action="store_true",
                    help="disable Beast mlat timestamps")
     p.add_argument("--beast-crc-off", action="store_true",

@@ -445,8 +445,9 @@ class App:
         )
         await self._run_sdr_source(src, "uc8")
 
-    async def run_bladerf(self) -> None:
-        """bladeRF capture (sdr_bladerf.c): SC16Q11 sync stream."""
+    async def run_bladerf(self, micro: bool = False) -> None:
+        """bladeRF capture (sdr_bladerf.c): SC16Q11 sync stream; micro=True
+        selects the bladeRF 2.0 Micro variant (sdr_ubladerf.c)."""
         from ..io.sdr import BladeRfSource
 
         args = self.args
@@ -455,6 +456,8 @@ class App:
             freq_hz=args.freq, fpga_path=args.bladerf_fpga,
             decimation=args.bladerf_decimation,
             bandwidth=args.bladerf_bandwidth,
+            micro=micro, gain_db=args.gain,
+            biastee=args.enable_biastee,
         )
         await self._run_sdr_source(src, "sc16q11")
 
@@ -535,14 +538,17 @@ class App:
         finally:
             src.close()
 
-    async def run_beast_serial(self) -> None:
+    async def run_beast_serial(self, gns: bool = False) -> None:
         """Beast receiver on a raw serial tty; bytes go through the same
-        deframer/scorer path as network Beast input (sdr_beast.c)."""
+        deframer/scorer path as network Beast input (sdr_beast.c).
+        gns=True selects the GNS5894/HULC handler (SDR_GNS)."""
         from ..io.sdr import BeastSerialSource
 
         args = self.args
+        # default 3M for Beast, 921600 for GNS HULC (sdr_beast.c:126,162-164)
+        baud = args.beast_baudrate or (921_600 if gns else 3_000_000)
         src = BeastSerialSource(
-            path=args.beast_serial, baud=args.beast_baudrate,
+            path=args.beast_serial, baud=baud, gns=gns,
             mlat_timestamps=not args.beast_mlat_off,
             crc_checks=not args.beast_crc_off,
             fec=not args.beast_fec_off,
@@ -1522,10 +1528,14 @@ class App:
                 await self.run_soapy()
             elif self.args.device_type == "modesbeast":
                 await self.run_beast_serial()
+            elif self.args.device_type == "gnshulc":
+                await self.run_beast_serial(gns=True)
             elif self.args.device_type == "hackrf":
                 await self.run_hackrf()
             elif self.args.device_type == "bladerf":
                 await self.run_bladerf()
+            elif self.args.device_type == "ubladerf":
+                await self.run_bladerf(micro=True)
             elif self.args.device_type == "plutosdr":
                 await self.run_pluto()
             elif self.args.net or self.args.net_only:

@@ -105,11 +105,16 @@ def write_traces(tracker: Tracker, outdir: str, now: int,
         # --json-trace-hist-only mask: 1 skips recent, 2 skips full
         # (globe_index.c:494-546); globe-history archiving is unaffected
         if not hist_only & 1:
-            recent = (
-                warm_states[-TRACE_RECENT_POINTS:]
-                if len(warm_states) >= TRACE_RECENT_POINTS
-                else tr.full()[-TRACE_RECENT_POINTS:]
-            )
+            if len(warm_states) >= TRACE_RECENT_POINTS:
+                recent = warm_states[-TRACE_RECENT_POINTS:]
+            else:
+                # the fallback decompresses cold states that never passed
+                # through mark_legs above — leg-mark the whole reassembled
+                # list (as the pre-cache code did) before slicing so
+                # trace_recent keeps its leg annotations
+                full = tr.full()
+                mark_legs(full)
+                recent = full[-TRACE_RECENT_POINTS:]
             doc = trace_json(a, recent, now)
             _atomic_write(
                 os.path.join(shard, f"trace_recent_{hexid}.json"),

@@ -311,6 +311,10 @@ class BeastSerialSource:
     filter_df1117: bool = False
     filter_df045: bool = False
     mode_ac: bool = False
+    # GNS5894/HULC receiver (--device-type gnshulc, SDR_GNS): same serial
+    # Beast framing, but 921600 baud and no Beast option commands; instead
+    # a firmware request is sent (sdr_beast.c:162-164,231-247)
+    gns: bool = False
     fd: int = -1
 
     def open(self) -> int:
@@ -335,8 +339,12 @@ class BeastSerialSource:
             except termios.error:
                 continue
         termios.tcflush(self.fd, termios.TCIOFLUSH)
-        for opt in self._options():
-            os.write(self.fd, bytes([0x1A, ord("1"), ord(opt)]))
+        if self.gns:
+            # request firmware message from GNS HULC (sdr_beast.c:231-237)
+            os.write(self.fd, b"#00\r")
+        else:
+            for opt in self._options():
+                os.write(self.fd, bytes([0x1A, ord("1"), ord(opt)]))
         return self.fd
 
     def _options(self) -> str:
@@ -486,6 +494,11 @@ class BladeRfSource:
     fpga_path: str | None = None  # --bladerf-fpga
     decimation: int = 1  # --bladerf-decimation
     bandwidth: str | None = None  # --bladerf-bandwidth (hz or 'bypass')
+    # bladeRF 2.0 Micro variant (--device-type ubladerf, sdr_ubladerf.c):
+    # USB reset on open, manual overall gain, RX bias tee
+    micro: bool = False
+    gain_db: float | None = None
+    biastee: bool = False
     buf_samples: int = SDR_BUF_BYTES // 4
     queue: asyncio.Queue = field(default_factory=lambda: asyncio.Queue(maxsize=SDR_N_BUFFERS))
 
@@ -506,6 +519,12 @@ class BladeRfSource:
                 "host (install libbladeRF, or use --device-type ifile/rtlsdr/soapy)"
             )
         self._lib = lib
+        if self.micro:
+            # sdr_ubladerf.c:172 resets the USB device before opening
+            try:
+                lib.bladerf_set_usb_reset_on_open(True)
+            except AttributeError:
+                pass
         dev = ctypes.c_void_p()
         if lib.bladerf_open(ctypes.byref(dev), (self.device or "").encode() or None) != 0:
             raise RuntimeError("bladerf_open failed")
@@ -518,6 +537,16 @@ class BladeRfSource:
         lib.bladerf_set_frequency(dev, BLADERF_MODULE_RX, self.freq_hz)
         if self.bandwidth and self.bandwidth != "bypass":
             lib.bladerf_set_bandwidth(dev, BLADERF_MODULE_RX, int(float(self.bandwidth)), None)
+        if self.micro:
+            # bladeRF 2.0 Micro extras (sdr_ubladerf.c:230-320): overall
+            # manual gain + RX0 bias tee (no-ops on bladeRF 1 boards)
+            if self.gain_db is not None:
+                lib.bladerf_set_gain(dev, BLADERF_MODULE_RX, int(self.gain_db))
+            if self.biastee:
+                try:
+                    lib.bladerf_set_bias_tee(dev, BLADERF_MODULE_RX, 1)
+                except AttributeError:
+                    pass
         BLADERF_FORMAT_SC16_Q11 = 0
         lib.bladerf_sync_config(dev, BLADERF_MODULE_RX, BLADERF_FORMAT_SC16_Q11,
                                 16, 65536, 8, 1000)

@@ -22,7 +22,8 @@ field-specific accept rules run on-device:
   - plain accept_data lattice fields (track.c:128-221)
   - baro-altitude outlier rejection (updateAltitude, track.c:1709-1813):
     reliability score + implied-fpm window from the known vertical rate
-  - squawk double-confirmation (track.c:2071-2092) incl. the DF5/21 seed
+  - squawk double-confirmation (track.c:2071-2092): JAERO immediate
+    accept, else the tentative must have held unchanged for >750 ms
   - callsign + counters + seen
 
 The CPR position chain stays host-side (f64; SURVEY build-plan note).
@@ -79,11 +80,15 @@ class ArenaState(NamedTuple):
     alt_ts: jax.Array  # int32[N]
     alt_src: jax.Array  # int32[N]
     alt_rel: jax.Array  # int32[N] reliability 0..20
+    # baro_alt ever assigned: score exhaustion invalidates alt_src while the
+    # stale value is retained (track.c:1793-1800), so alt_src can't encode it
+    alt_set: jax.Array  # bool[N]
     # squawk + double-confirmation tentative; -1 = unset
     squawk: jax.Array  # int32[N]
     sq_ts: jax.Array  # int32[N]
     sq_src: jax.Array  # int32[N]
     sq_tent: jax.Array  # int32[N]
+    sq_tent_ts: jax.Array  # int32[N] ms of last tentative change
 
 
 def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
@@ -101,10 +106,12 @@ def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
         alt_ts=jnp.full(n, _NEVER, jnp.int32),
         alt_src=jnp.full(n, -1, jnp.int32),
         alt_rel=jnp.zeros(n, jnp.int32),
+        alt_set=jnp.zeros(n, bool),
         squawk=jnp.full(n, -1, jnp.int32),
         sq_ts=jnp.full(n, _NEVER, jnp.int32),
         sq_src=jnp.full(n, -1, jnp.int32),
         sq_tent=jnp.full(n, -1, jnp.int32),
+        sq_tent_ts=jnp.full(n, _NEVER, jnp.int32),
     )
 
 
@@ -126,7 +133,6 @@ class UpdateBatch(NamedTuple):
     crc0: jax.Array  # bool[M] mm.crc == 0
     sq_valid: jax.Array  # bool[M]
     sq: jax.Array  # int32[M] squawk hex
-    sq_seed: jax.Array  # bool[M] DF5/21 (identity reply seeds immediately)
 
 
 def _scatter(base, slot, mask, vals, fill):
@@ -151,7 +157,8 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
 
     def round_step(carry, r):
         (fval, fts, fsrc, callsign, cs_ts, cs_src,
-         alt, alt_ts, alt_src, alt_rel, squawk, sq_ts, sq_src, sq_tent) = carry
+         alt, alt_ts, alt_src, alt_rel, alt_set,
+         squawk, sq_ts, sq_src, sq_tent, sq_tent_ts) = carry
         mrow = live & (b.rank == r)
         slot = jnp.where(mrow, b.slot, n)
 
@@ -174,10 +181,21 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         a_val = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.alt, 0)
         a_q = _scatter(jnp.zeros(n, bool), slot, mrow, b.alt_q, False)
         a_crc0 = _scatter(jnp.zeros(n, bool), slot, mrow, b.crc0, False)
-        old = jnp.where(alt_src >= 0, alt, 0)
+        old = jnp.where(alt_set, alt, 0)
         delta = a_val - old
         big = jnp.abs(delta) >= 300
         age_alt = jnp.maximum(0, u_ts - alt_ts)
+        # pre-gate (track.c:2059-2068): lower-priority sources only run the
+        # outlier logic once the held altitude goes stale
+        a_have &= (
+            (u_src >= alt_src)
+            | (
+                (age_alt > 10_000)
+                & (alt_src != int(Source.JAERO))
+                & (alt_src != int(Source.SBS))
+            )
+            | (age_alt > 30_000)
+        )
         # C trunc division: all quantities here are nonneg denominators
         fpm = (delta * 600) // jnp.maximum(1, (age_alt // 100) + 10)
         fpm = jnp.where(delta < 0, -((-delta * 600) // jnp.maximum(1, (age_alt // 100) + 10)), fpm)
@@ -209,25 +227,30 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         )
         good_crc = jnp.where(u_src == int(Source.MLAT), 9, good_crc)
         qbad = (old > 50175) & a_q & (rel_now > 5)
+        # the q-bit branch zeroes good_crc and takes the discard path
+        # (track.c:1756-1760)
+        good_crc = jnp.where(qbad, 0, good_crc)
         accept_a = ~qbad & (
             (good_crc >= rel_now) | (u_src > alt_src) | (rel_now <= 0)
             | (jnp.abs(delta) < 300) | ((fpm > min_fpm) & (fpm < max_fpm))
         )
         latt_a = a_have & accept_a & gate(alt_ts, alt_src)
+        discard_a = a_have & ~accept_a
+        dec = rel_now - (good_crc + 1)
+        # discard epilogue (track.c:1793-1800): clamp at 0 and invalidate the
+        # source on exhaustion (the arena carries no JAERO position state,
+        # so the pos_reliable JAERO exception never applies here)
+        exhausted = discard_a & (dec <= 0)
         alt_rel = jnp.where(
-            a_have & qbad, rel_now - 1,
-            jnp.where(
-                a_have & ~qbad & ~accept_a, rel_now - (good_crc + 1),
-                jnp.where(
-                    latt_a,
-                    jnp.clip(rel_now + good_crc + 1, 0, 20),
-                    rel_now,
-                ),
-            ),
+            discard_a, jnp.maximum(0, dec),
+            jnp.where(latt_a, jnp.clip(rel_now + good_crc + 1, 0, 20), rel_now),
         )
         alt = jnp.where(latt_a, a_val, alt)
         alt_ts = jnp.where(latt_a, u_ts, alt_ts)
-        alt_src = jnp.where(latt_a, p_src, alt_src)
+        alt_src = jnp.where(
+            exhausted, -1, jnp.where(latt_a, p_src, alt_src)
+        )
+        alt_set = alt_set | latt_a
 
         # --- plain lattice fields ------------------------------------------
         u_fm = _scatter(jnp.zeros((n, NFIELDS), bool), slot, mrow, b.fmask, False)
@@ -251,42 +274,46 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         cs_src = jnp.where(ok_c, p_src, cs_src)
 
         # --- squawk double-confirmation (track.c:2071-2092) ----------------
+        # JAERO accepts immediately; otherwise the tentative value must have
+        # held unchanged for >750 ms.  The tentative is NOT cleared on
+        # confirm.  (The reference's `now - a->seen < 15 s` guard on the
+        # tentative change is always true — seen was set this message.)
         q_have = _scatter(jnp.zeros(n, bool), slot, mrow & b.sq_valid,
                           b.sq_valid, False)
         q_val = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.sq, -2)
-        q_seed = _scatter(jnp.zeros(n, bool), slot, mrow, b.sq_seed, False)
-        acc_q = gate(sq_ts, sq_src)
-        match = (squawk == q_val) | (sq_tent == q_val)
-        m1 = q_have & match & acc_q
+        will_q = gate(sq_ts, sq_src)
+        change_tent = q_have & (sq_tent != q_val) & will_q
+        confirm = (u_src == int(Source.JAERO)) | (
+            (sq_tent == q_val) & (u_ts - sq_tent_ts > 750)
+        )
+        m1 = q_have & confirm & will_q
         squawk = jnp.where(m1, q_val, squawk)
-        sq_tent = jnp.where(m1, -1, sq_tent)
-        m2 = q_have & ~match
-        sq_tent = jnp.where(m2, q_val, sq_tent)
-        seed = m2 & (squawk == -1) & q_seed & acc_q
-        squawk = jnp.where(seed, q_val, squawk)
-        upd_q = m1 | seed
-        sq_ts = jnp.where(upd_q, u_ts, sq_ts)
-        sq_src = jnp.where(upd_q, p_src, sq_src)
+        sq_ts = jnp.where(m1, u_ts, sq_ts)
+        sq_src = jnp.where(m1, p_src, sq_src)
+        sq_tent = jnp.where(change_tent, q_val, sq_tent)
+        sq_tent_ts = jnp.where(change_tent, u_ts, sq_tent_ts)
 
         return (fval, fts, fsrc, callsign, cs_ts, cs_src,
-                alt, alt_ts, alt_src, alt_rel,
-                squawk, sq_ts, sq_src, sq_tent), None
+                alt, alt_ts, alt_src, alt_rel, alt_set,
+                squawk, sq_ts, sq_src, sq_tent, sq_tent_ts), None
 
     carry = (state.fval, state.fts, state.fsrc, state.callsign,
              state.cs_ts, state.cs_src, state.alt, state.alt_ts,
-             state.alt_src, state.alt_rel, state.squawk, state.sq_ts,
-             state.sq_src, state.sq_tent)
+             state.alt_src, state.alt_rel, state.alt_set, state.squawk,
+             state.sq_ts, state.sq_src, state.sq_tent, state.sq_tent_ts)
     carry, _ = jax.lax.scan(
         round_step, carry, jnp.arange(rounds, dtype=jnp.int32)
     )
     (fval, fts, fsrc, callsign, cs_ts, cs_src, alt, alt_ts, alt_src,
-     alt_rel, squawk, sq_ts, sq_src, sq_tent) = carry
+     alt_rel, alt_set, squawk, sq_ts, sq_src, sq_tent, sq_tent_ts) = carry
     return ArenaState(
         icao=icao, seen=seen, messages=messages,
         fval=fval, fts=fts, fsrc=fsrc,
         callsign=callsign, cs_ts=cs_ts, cs_src=cs_src,
         alt=alt, alt_ts=alt_ts, alt_src=alt_src, alt_rel=alt_rel,
+        alt_set=alt_set,
         squawk=squawk, sq_ts=sq_ts, sq_src=sq_src, sq_tent=sq_tent,
+        sq_tent_ts=sq_tent_ts,
     )
 
 
@@ -316,10 +343,12 @@ def arena_sweep(state: ArenaState, now_ms, ttl_ms) -> tuple[ArenaState, jax.Arra
         alt_ts=clr(state.alt_ts, _NEVER),
         alt_src=clr(state.alt_src, -1),
         alt_rel=clr(state.alt_rel, 0),
+        alt_set=clr(state.alt_set, False),
         squawk=clr(state.squawk, -1),
         sq_ts=clr(state.sq_ts, _NEVER),
         sq_src=clr(state.sq_src, -1),
         sq_tent=clr(state.sq_tent, -1),
+        sq_tent_ts=clr(state.sq_tent_ts, _NEVER),
     )
     return ns, dead
 
@@ -372,7 +401,6 @@ class Arena:
         crc0 = np.zeros(mpad, bool)
         sq_valid = np.zeros(mpad, bool)
         sq = np.full(mpad, -2, np.int32)
-        sq_seed = np.zeros(mpad, bool)
         for i, (s, r, addr, mm) in enumerate(rows):
             slot[i] = s
             rank[i] = r
@@ -400,7 +428,6 @@ class Arena:
             if qv is not None:
                 sq_valid[i] = True
                 sq[i] = int(qv)
-                sq_seed[i] = getattr(mm, "msgtype", 0) in (5, 21)
         batch = UpdateBatch(
             slot=jnp.asarray(slot), rank=jnp.asarray(rank),
             icao=jnp.asarray(icao), ts=jnp.asarray(ts),
@@ -409,7 +436,6 @@ class Arena:
             alt_valid=jnp.asarray(alt_valid), alt=jnp.asarray(alt),
             alt_q=jnp.asarray(alt_q), crc0=jnp.asarray(crc0),
             sq_valid=jnp.asarray(sq_valid), sq=jnp.asarray(sq),
-            sq_seed=jnp.asarray(sq_seed),
         )
         self.state = arena_update(self.state, batch, rounds)
 

@@ -204,6 +204,10 @@ class _Cols:
         self.alt_ts = np.full(cap, -(1 << 60), np.int64)
         self.alt_src = np.full(cap, _INVALID, np.int64)
         self.alt_reliable = z(cap, np.int64)  # updateAltitude score (track.c:1709)
+        # baro_alt ever assigned (dict baro_alt is not None) — alt_src alone
+        # can't express this since score exhaustion invalidates the source
+        # while the stale value is retained (track.c:1793-1800)
+        self.alt_set = z(cap, bool)
         for f in ("baro_rate", "geom_rate"):
             setattr(self, f, z(cap, np.int64))
             setattr(self, f + "_ts", np.full(cap, -(1 << 60), np.int64))
@@ -216,6 +220,8 @@ class _Cols:
         self.squawk_ts = np.full(cap, -(1 << 60), np.int64)
         self.squawk_src = np.full(cap, _INVALID, np.int64)
         self.squawk_tent = np.full(cap, -1, np.int64)
+        # ms timestamp of the last tentative change (track.c squawkTentativeChanged)
+        self.squawk_tent_ts = np.full(cap, -(1 << 60), np.int64)
         self.cs = z((cap, 8), np.uint8)
         self.cs_ts = np.full(cap, -(1 << 60), np.int64)
         self.cs_src = np.full(cap, _INVALID, np.int64)
@@ -426,12 +432,29 @@ class BulkTracker:
         s = s[valid]
         now = mc["ts"][rows]
         src = mc["source"][rows]
+        # pre-gate (track.c:2059-2068): lower-priority sources run the
+        # outlier logic only once the held altitude goes stale
+        cur_src0 = c.alt_src[s]
+        age0 = np.maximum(0, now - c.alt_ts[s])
+        pregate = (
+            (src >= cur_src0)
+            | (
+                (age0 > 10 * SECONDS)
+                & (cur_src0 != int(Source.JAERO))
+                & (cur_src0 != int(Source.SBS))
+            )
+            | (age0 > 30 * SECONDS)
+        )
+        if not pregate.any():
+            return
+        rows = rows[pregate]
+        s = s[pregate]
+        now = now[pregate]
+        src = src[pregate]
         psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
         alt = mc["alt"][rows]
         q_bit = mc["alt_q"][rows] if "alt_q" in mc else np.zeros(len(rows), bool)
-        old = c.alt[s]
-        never = c.alt_src[s] == _INVALID  # dict baro_alt None -> old 0
-        old = np.where(never, 0, old)
+        old = np.where(c.alt_set[s], c.alt[s], 0)  # dict baro_alt None -> 0
 
         delta = alt - old
         big = np.abs(delta) >= 300
@@ -483,6 +506,9 @@ class BulkTracker:
         ).astype(np.int64)
         good_crc = np.where(src == int(Source.MLAT), 9, good_crc)
         qbad = (old > 50175) & q_bit & (rel > 5)
+        # the q-bit branch zeroes good_crc and takes the discard path
+        # (track.c:1756-1760)
+        good_crc = np.where(qbad, 0, good_crc)
         accept_m = ~qbad & (
             (good_crc >= rel)
             | (src > c.alt_src[s])
@@ -490,9 +516,16 @@ class BulkTracker:
             | (np.abs(delta) < 300)
             | ((fpm > min_fpm) & (fpm < max_fpm))
         )
-        discard_m = ~qbad & ~accept_m
-        c.alt_reliable[s[qbad]] -= 1
-        c.alt_reliable[s[discard_m]] -= good_crc[discard_m] + 1
+        discard_m = ~accept_m
+        newrel = rel - (good_crc + 1)
+        c.alt_reliable[s[discard_m]] = newrel[discard_m]
+        # discard epilogue (track.c:1793-1800): clamp exhausted scores at 0
+        # and invalidate the stale altitude (unless positioned via JAERO)
+        exhausted = discard_m & (newrel <= 0)
+        i = s[exhausted]
+        c.alt_reliable[i] = 0
+        inval = exhausted & (c.pv_src[s] != int(Source.JAERO))
+        c.alt_src[s[inval]] = _INVALID
 
         latt = accept_m & self._accept_cols(c.alt_ts, c.alt_src, s, src, now)
         i = s[latt]
@@ -500,11 +533,19 @@ class BulkTracker:
             0, np.minimum(20, rel[latt] + good_crc[latt] + 1)
         )
         c.alt[i] = alt[latt]
+        c.alt_set[i] = True
         c.alt_ts[i] = now[latt]
         c.alt_src[i] = psrc[latt]
 
     def _squawk_update(self, rows, s, mc):
-        """Columnar squawk double-confirmation (track.c:2071-2092)."""
+        """Columnar squawk double-confirmation (track.c:2071-2092).
+
+        JAERO accepts immediately; otherwise the tentative value must have
+        held unchanged for >750 ms.  The tentative is not cleared on confirm.
+        (The reference's `now - a->seen < 15 s` tentative-change guard is
+        always true because a->seen was set to now earlier in the same
+        update, so it is elided here.)
+        """
         c = self.cols
         valid = mc["squawk_valid"][rows]
         if not valid.any():
@@ -515,26 +556,23 @@ class BulkTracker:
         src = mc["source"][rows]
         psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
         sq = mc["squawk"][rows]
-        df = mc["df"][rows]
-        cur = c.squawk[s]
         tent = c.squawk_tent[s]
-        acc = self._accept_cols(c.squawk_ts, c.squawk_src, s, src, now)
+        tent_ts = c.squawk_tent_ts[s]
+        will = self._accept_cols(c.squawk_ts, c.squawk_src, s, src, now)
 
-        match = (cur == sq) | (tent == sq)
-        m1 = match & acc
+        change_tent = (tent != sq) & will
+        confirm = (src == int(Source.JAERO)) | (
+            (tent == sq) & (now - tent_ts > 750)
+        )
+        m1 = confirm & will
         i = s[m1]
         c.squawk[i] = sq[m1]
-        c.squawk_tent[i] = -1
         c.squawk_ts[i] = now[m1]
         c.squawk_src[i] = psrc[m1]
 
-        m2 = ~match
-        c.squawk_tent[s[m2]] = sq[m2]
-        seed = m2 & (cur == -1) & ((df == 5) | (df == 21)) & acc
-        i = s[seed]
-        c.squawk[i] = sq[seed]
-        c.squawk_ts[i] = now[seed]
-        c.squawk_src[i] = psrc[seed]
+        j = s[change_tent]
+        c.squawk_tent[j] = sq[change_tent]
+        c.squawk_tent_ts[j] = now[change_tent]
 
     # ------------------------------------------------------------------
 

@@ -279,6 +279,7 @@ class Aircraft:
     squawk: Optional[int] = None  # hex-coded octal
     squawk_valid: Validity = dataclasses.field(default_factory=Validity)
     squawk_tentative: Optional[int] = None
+    squawk_tentative_changed: int = -(1 << 60)  # ms ts of last tentative change
     emergency: Optional[int] = None
     emergency_valid: Validity = dataclasses.field(default_factory=Validity)
     category: Optional[int] = None
@@ -462,6 +463,18 @@ class Tracker:
         v.updated = now
         return True
 
+    def _will_accept(
+        self, a: Aircraft, v: Validity, source: Source, now: int
+    ) -> bool:
+        """will_accept_data: the same gate without mutating (track.c:121-126)."""
+        if source == Source.INVALID:
+            return False
+        if now < v.updated:
+            return False
+        if source < v.source and now < v.updated + TRACK_STALE:
+            return False
+        return True
+
     def _update_altitude(self, a: Aircraft, mm: ModesMessage, src: Source, now: int) -> None:
         """Baro-altitude outlier rejection (updateAltitude, track.c:1709-1813).
 
@@ -510,19 +523,27 @@ class Tracker:
         if src == Source.MLAT:
             good_crc = RELIABLE_MAX // 2 - 1
         if old > 50175 and mm.alt_q_bit and a.alt_reliable > RELIABLE_MAX // 4:
-            # q-bit encoding tops out: high-altitude q=1 reads are bogus
-            a.alt_reliable -= 1
-            return
-
-        accept = (
-            good_crc >= a.alt_reliable
-            or src > a.baro_alt_valid.source
-            or a.alt_reliable <= 0
-            or abs(delta) < 300
-            or (min_fpm < fpm < max_fpm)
-        )
+            # q-bit encoding tops out: high-altitude q=1 reads are bogus;
+            # reference zeroes good_crc and takes the discard path
+            # (track.c:1756-1760)
+            good_crc = 0
+            accept = False
+        else:
+            accept = (
+                good_crc >= a.alt_reliable
+                or src > a.baro_alt_valid.source
+                or a.alt_reliable <= 0
+                or abs(delta) < 300
+                or (min_fpm < fpm < max_fpm)
+            )
         if not accept:
+            # discard epilogue (track.c:1793-1800): clamp the score at 0 and
+            # invalidate the stale altitude once the score exhausts
             a.alt_reliable -= good_crc + 1
+            if a.alt_reliable <= 0:
+                a.alt_reliable = 0
+                if a.position_valid.source != Source.JAERO:
+                    a.baro_alt_valid.source = Source.INVALID
             return
         if self._accept(a, a.baro_alt_valid, src, now):
             a.alt_reliable = min(RELIABLE_MAX, a.alt_reliable + good_crc + 1)
@@ -583,7 +604,19 @@ class Tracker:
 
         # --- altitude ----------------------------------------------------
         if mm.baro_alt is not None:
-            self._update_altitude(a, mm, src, now)
+            # pre-gate (track.c:2059-2068): lower-priority sources only get
+            # to run the outlier logic once the held altitude goes stale
+            av = a.baro_alt_valid
+            age = av.age(now)
+            if (
+                src >= av.source
+                or (
+                    age > 10 * SECONDS
+                    and av.source not in (Source.JAERO, Source.SBS)
+                )
+                or age > 30 * SECONDS
+            ):
+                self._update_altitude(a, mm, src, now)
         if mm.geom_alt is not None and self._accept(a, a.geom_alt_valid, src, now):
             a.geom_alt = mm.geom_alt
         if mm.geom_delta is not None and self._accept(a, a.geom_delta_valid, src, now):
@@ -595,21 +628,33 @@ class Tracker:
 
         # --- squawk double-confirmation (track.c:2071-2092) ---------------
         if mm.squawk_hex is not None:
-            if a.squawk == mm.squawk_hex or a.squawk_tentative == mm.squawk_hex:
-                changed = a.squawk != mm.squawk_hex
-                if self._accept(a, a.squawk_valid, src, now):
-                    # squawk changes always forward (track.c:2076-2077)
-                    if changed:
-                        a.next_reduce_forward_pos = now + self.reduce_interval_ms
-                        mm.reduce_forward = True
-                    a.squawk = mm.squawk_hex
-                    a.squawk_tentative = None
-            else:
-                a.squawk_tentative = mm.squawk_hex
-                if a.squawk is None and mm.msgtype in (5, 21):
-                    # direct identity replies seed immediately
-                    if self._accept(a, a.squawk_valid, src, now):
-                        a.squawk = mm.squawk_hex
+            sq = mm.squawk_hex
+            change_tentative = False
+            if (
+                a.squawk_tentative != sq
+                and now - a.seen < 15 * SECONDS
+                and self._will_accept(a, a.squawk_valid, src, now)
+            ):
+                # a tentative change always forwards (track.c:2074-2079)
+                a.next_reduce_forward_pos = now + self.reduce_interval_ms
+                mm.reduce_forward = True
+                change_tentative = True
+            # confirmation: JAERO immediately, else the tentative value must
+            # have held for >750 ms (track.c:2081-2087); the tentative is NOT
+            # cleared on confirm
+            if (
+                src == Source.JAERO
+                or (
+                    a.squawk_tentative == sq
+                    and now - a.squawk_tentative_changed > 750
+                )
+            ) and self._accept(a, a.squawk_valid, src, now):
+                if sq != a.squawk:
+                    a.modea_hit = False
+                a.squawk = sq
+            if change_tentative:
+                a.squawk_tentative = sq
+                a.squawk_tentative_changed = now
 
         # --- speeds / headings -------------------------------------------
         if mm.gs_selected is not None and self._accept(a, a.gs_valid, src, now):

@@ -162,9 +162,11 @@ def test_bulk_altitude_outliers_and_squawk(tmp_path):
     # override the reliable ADS-B altitude
     frames.append(_mkframe(encode_df4(addr, 1_000), t, addr))
     t += 500
-    # squawk: seed via DF5, then change (tentative), then confirm
+    # squawk: tentative via DF5, confirm after >750 ms (track.c:2081-2087),
+    # then change (tentative again) and confirm the change
+    frames.append(_mkframe(encode_df5(addr, 0x1200), t, addr)); t += 800
     frames.append(_mkframe(encode_df5(addr, 0x1200), t, addr)); t += 500
-    frames.append(_mkframe(encode_df5(addr, 0x7700), t, addr)); t += 500
+    frames.append(_mkframe(encode_df5(addr, 0x7700), t, addr)); t += 800
     mid_frames = list(frames)
     frames.append(_mkframe(encode_df5(addr, 0x7700), t, addr)); t += 500
 
@@ -188,8 +190,8 @@ def test_bulk_altitude_outliers_and_squawk(tmp_path):
     # DF4 bogus altitude rejected by reliability (not by source priority:
     # MODE_S < ADSB takes the stale-window path, then the fpm window)
     assert a.baro_alt > 9000
-    # confirmed squawk
-    assert a.squawk == 0x7700 and a.squawk_tentative is None
+    # confirmed squawk; the tentative is NOT cleared on confirm
+    assert a.squawk == 0x7700 and a.squawk_tentative == 0x7700
 
     # full dict == bulk equality on the touched columns
     c = bulk.cols
@@ -198,5 +200,5 @@ def test_bulk_altitude_outliers_and_squawk(tmp_path):
     assert c.alt_ts[i] == a.baro_alt_valid.updated
     assert c.baro_rate[i] == a.baro_rate
     assert c.squawk[i] == a.squawk
-    assert c.squawk_tent[i] == -1
+    assert c.squawk_tent[i] == 0x7700
     assert c.gs[i] == a.gs

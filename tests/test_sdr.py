@@ -36,6 +36,32 @@ def test_beast_serial_option_defaults():
     assert src._options() == "BCHdEfgiJ".replace("J", "j")
 
 
+def test_gns_hulc_over_pty():
+    """GNS5894/HULC mode (--device-type gnshulc, SDR_GNS): no Beast option
+    commands, just the firmware request (sdr_beast.c:162-164,231-247)."""
+    controller, follower = os.openpty()
+    src = BeastSerialSource(path=os.ttyname(follower), baud=921_600, gns=True)
+    try:
+        src.open()
+        data = os.read(controller, 4096)
+    finally:
+        src.close()
+        os.close(controller)
+        os.close(follower)
+    assert data == b"#00\r"
+
+
+def test_device_type_aliases_parse():
+    """All 8 reference hardware families are valid --device-type values
+    (handler table sdr.c:94-122)."""
+    from readsb_tpu.app.config import build_parser
+
+    p = build_parser()
+    for dt in ("ifile", "rtlsdr", "soapy", "modesbeast", "gnshulc",
+               "hackrf", "bladerf", "ubladerf", "plutosdr", "none"):
+        assert p.parse_args(["--device-type", dt]).device_type == dt
+
+
 def test_rtl_gain_snap():
     # explicit gains snap to the nearest tuner step (tenths of dB)
     want = 43.5
