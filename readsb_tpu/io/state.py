@@ -155,22 +155,16 @@ def _pack_aircraft(a: Aircraft) -> dict:
 
 
 _IMMUT = None
-_MUT_KEYS = None
-
-
-def _fresh_validity() -> Validity:
-    v = object.__new__(Validity)
-    v.updated = _NEVER
-    v.source = Source.INVALID
-    v.last_source = Source.INVALID
-    return v
 
 
 def _unpack_aircraft(d: dict) -> Aircraft:
-    """Reconstruct without running the dataclass __init__ (whose ~45
-    default-factory Validity constructions dominate a 100k-aircraft
-    load); immutable defaults are shared, mutable ones built fresh."""
-    global _IMMUT, _MUT_KEYS, _DEF
+    """Reconstruct without running the dataclass __init__: immutable
+    defaults are shared, and the ~45 untouched Validity/CprPair/list
+    defaults per aircraft are NOT built at all — Aircraft.__getattr__
+    materializes them lazily on first access.  This makes the load cost
+    proportional to the fields actually set (the sparse analog of the
+    reference's flat-struct memcpy load, globe_index.c:2939-3081)."""
+    global _IMMUT, _DEF
     if _IMMUT is None:
         if _DEF is None:
             _DEF = dict(Aircraft(addr=0).__dict__)
@@ -179,23 +173,8 @@ def _unpack_aircraft(d: dict) -> Aircraft:
             if isinstance(v, (int, float, str, bytes, bool, type(None)))
             or isinstance(v, (Source, AddrType, AirGround, HeadingType))
         }
-        _MUT_KEYS = [
-            (k, type(v)) for k, v in _DEF.items() if k not in _IMMUT
-        ]
     a = object.__new__(Aircraft)
     ad = dict(_IMMUT)
-    for k, t in _MUT_KEYS:
-        if k not in d:
-            if t is Validity:
-                ad[k] = _fresh_validity()
-            elif t is CprPair:
-                ad[k] = CprPair()
-            elif t is list:
-                ad[k] = []
-            elif t is dict:
-                ad[k] = {}
-            else:
-                ad[k] = None if _DEF[k] is None else type(_DEF[k])()
     ad.update(d)
     a.__dict__ = ad
     return a
@@ -267,22 +246,36 @@ def load_state(tracker: Tracker, directory: str) -> int:
 
 def _load_state_inner(tracker: Tracker, directory: str, pickle, zstandard) -> int:
     n = 0
-    for blob in range(STATE_BLOBS):
+
+    # v2 blobs load in parallel (the reference spreads load_blob over
+    # io_threads, globe_index.c:3565-3761): file IO + zstd decompression
+    # release the GIL, so reads/decompresses overlap while the pure-Python
+    # record unpacking serializes; insertion order across blobs does not
+    # matter (addresses are disjoint by construction).
+    def _load_v2(blob: int):
         path = os.path.join(directory, f"blob_{blob:02d}.bin.zst")
-        if os.path.exists(path):
-            try:
-                raw = open(path, "rb").read()
-                if not raw.startswith(STATE_MAGIC_V2):
-                    continue
-                doc = pickle.loads(
-                    zstandard.ZstdDecompressor().decompress(
-                        raw[len(STATE_MAGIC_V2):]
-                    )
+        if not os.path.exists(path):
+            return None
+        try:
+            raw = open(path, "rb").read()
+            if not raw.startswith(STATE_MAGIC_V2):
+                return []
+            doc = pickle.loads(
+                zstandard.ZstdDecompressor().decompress(
+                    raw[len(STATE_MAGIC_V2):]
                 )
-            except (OSError, pickle.UnpicklingError, zstandard.ZstdError):
-                continue
-            for d in doc.get("aircraft", []):
-                a = _unpack_aircraft(d)
+            )
+        except (OSError, pickle.UnpicklingError, zstandard.ZstdError):
+            return []
+        return [_unpack_aircraft(d) for d in doc.get("aircraft", [])]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(_load_v2, range(STATE_BLOBS)))
+    for blob, recs in enumerate(results):
+        if recs is not None:
+            for a in recs:
                 tracker.aircraft[a.addr] = a
                 n += 1
             continue

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import typing
 from typing import Optional
 
 from ..decode import cpr as cpr_mod
@@ -358,6 +359,27 @@ class Aircraft:
             return -49.5
         avg = sum(ring) / len(ring)
         return 10 * math.log10(avg) if avg > 0 else -49.5
+
+    # Lazy default materialization: checkpoint load (io/state.py) rebuilds
+    # instances via __new__ with ONLY the explicitly-set fields in __dict__;
+    # the ~45 untouched Validity/CprPair/list defaults per aircraft are
+    # created here on first access instead of up front (the reference's
+    # load_blob memcpys flat structs, globe_index.c:2939-3081 — this is the
+    # sparse-object analog of that cost profile).
+    _lazy_factory: typing.ClassVar[dict] = {}
+
+    def __getattr__(self, name: str):
+        fact = Aircraft._lazy_factory
+        if not fact:
+            for f in dataclasses.fields(Aircraft):
+                if f.default_factory is not dataclasses.MISSING:
+                    fact[f.name] = f.default_factory
+        f = fact.get(name)
+        if f is None:
+            raise AttributeError(name)
+        v = f()
+        self.__dict__[name] = v
+        return v
 
 
 class Tracker:

@@ -56,11 +56,11 @@ def test_checkpoint_100k_under_5s(tmp_path):
     m = state_io.load_state(tr2, d)
     dt_load = time.perf_counter() - t0
     assert m == 100_000
-    # load is reconstruction-bound (one Aircraft per record) and runs once
-    # at startup; the <5 s bar applies to the save (VERDICT r3 #9).
-    # Isolated the load measures ~6 s; the generous bound absorbs the
-    # allocator pressure of a full-suite heap (GC is already paused).
-    assert dt_load < 15.0, f"full load took {dt_load:.1f}s"
+    # load materializes untouched per-field defaults lazily
+    # (Aircraft.__getattr__), so reconstruction is proportional to the
+    # set fields only: ~0.6 s isolated; <5 s absorbs full-suite heap
+    # pressure (VERDICT r4 #2 restored the original bound)
+    assert dt_load < 5.0, f"full load took {dt_load:.1f}s"
 
     # round-trip equality on a sample (full compare would dwarf the test)
     for addr in (0x100000, 0x100000 + 37, 0x100000 + 99_999):
