@@ -37,12 +37,14 @@ from ..track.tracker import Validity
 def make_bulk(app):
     from ..track.bulk import BulkTracker
 
-    if app.args.lat is None or app.args.lon is None:
-        raise SystemExit("--net-bulk-drain requires --lat/--lon")
+    # --lat/--lon configured: single-receiver mode (receiver-relative CPR,
+    # max-range gate).  Without them: aggregator (multi-receiver) mode —
+    # feeder extent boxes provide references and plausibility heuristics.
     return BulkTracker(
         app.args.lat, app.args.lon,
         max_range_km=app.args.max_range * 1.852,
         json_reliable=app.tracker.json_reliable,
+        receivers=app.tracker.receivers,
     )
 
 
@@ -145,6 +147,8 @@ def ingest_columns(app, msgs, ts, rts, rids, sig) -> None:
         fixed[rows], ts[rows], acc["addr"][rows], acc["corrected"][rows]
     )
     cols["signal"] = sig[rows]
+    cols["receiver_id"] = rids[rows].astype(np.uint64)
+    cols["remote"] = True  # network ingest: CPR duplicate cache active
     app.bulk.update_batch(cols)
 
     # exotic-shape rows take the scalar field decoder for their extra
@@ -222,6 +226,7 @@ def materialize(app, now: int) -> None:
     psurf_l, pnic_l, prc_l = col("pos_surface"), col("pos_nic"), col("pos_rc")
     gslp_l = col("gs_last_pos")
     rodd_l, reven_l = col("rel_odd"), col("rel_even")
+    lrid_l = col("last_rid")
 
     from ..track import globe as globe_mod
     from ..track.tracker import TRACK_STALE, bearing, greatcircle
@@ -283,6 +288,7 @@ def materialize(app, now: int) -> None:
             a.gs_last_pos = gslp_l[k]
             a.pos_reliable_odd = rodd_l[k]
             a.pos_reliable_even = reven_l[k]
+            a.receiver_id = lrid_l[k]  # lastPosReceiverId
             v = a.position_valid
             v.updated = pv_ts_l[k]
             v.source = SRC[pv_src_l[k]]

@@ -133,11 +133,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--net", action="store_true", help="enable networking")
     p.add_argument("--net-only", action="store_true", help="no SDR, network input only")
     p.add_argument(
-        "--net-bulk-drain", action="store_true",
+        "--net-bulk-drain", action="store_true", default=None,
         help="columnar aggregator ingest: drain network frames through the "
              "batch accept stage + BulkTracker (the decodePool analog, "
-             "net_io.c:5365-5474); needs --lat/--lon; the dict tracker "
-             "becomes a serving view refreshed each tick",
+             "net_io.c:5365-5474); the dict tracker becomes a serving view "
+             "refreshed each tick.  DEFAULT: auto-enabled for network "
+             "ingest unless an output lane that needs per-message decoded "
+             "fields is configured (SBS/ASTERIX/json-position/beast-reduce "
+             "out) or --modeac is on; --no-net-bulk-drain forces the "
+             "scalar per-message path",
+    )
+    p.add_argument(
+        "--no-net-bulk-drain", dest="net_bulk_drain", action="store_false",
+        help=argparse.SUPPRESS,
     )
     p.add_argument("--net-ri-port", type=_ports, default=[], help="raw input listen port")
     p.add_argument("--net-ro-port", type=_ports, default=[], help="raw output listen port")

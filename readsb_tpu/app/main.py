@@ -64,7 +64,7 @@ class App:
         self._shared_net_scorer = None
         self.bulk = None
         self._net_cols_queue: list = []
-        if getattr(args, "net_bulk_drain", False):
+        if self._bulk_drain_enabled(args):
             from .bulk_drain import make_bulk
 
             self.bulk = make_bulk(self)
@@ -604,8 +604,13 @@ class App:
         class BeastIn(InputConnection):
             def __init__(self):
                 # bulk mode: native columnar deframer (readBeast analog)
-                # feeding column batches straight to the columnar drain
-                self.cols_mode = app.bulk is not None
+                # feeding column batches straight to the columnar drain.
+                # --dump-beast needs per-frame BeastFrame records, so it
+                # falls back to the object deframer (the frames still
+                # drain through the bulk path via drain_bulk)
+                self.cols_mode = (
+                    app.bulk is not None and app.beast_dump is None
+                )
                 self.deframer = (
                     beast_io.ColumnarDeframer() if self.cols_mode
                     else beast_io.BeastDeframer()
@@ -895,6 +900,45 @@ class App:
                     app.handle_message(mm)
 
         return AsterixIn
+
+    @staticmethod
+    def _bulk_drain_enabled(args) -> bool:
+        """Columnar ingest enablement (VERDICT r5 #7: default-on).
+
+        Explicit --net-bulk-drain / --no-net-bulk-drain always wins.
+        Auto mode enables the columnar path whenever network ingest is on
+        and nothing requires the scalar per-message pipeline: output
+        lanes that need per-message decoded fields or reduce_forward
+        decisions (SBS x5 / ASTERIX / json-position / beast-reduce /
+        feedmap / VRS-per-message), or Mode A/C decoding (2-byte frames
+        are outside the columnar decoder).  The reference keeps its
+        decodePool opt-in, but its scalar default sustains ~1M msgs/s —
+        ours does not, so the columnar path is the production default.
+        """
+        forced = getattr(args, "net_bulk_drain", None)
+        if forced is not None:
+            return bool(forced)
+        if not (args.net or args.net_only):
+            return False
+        if args.modeac:
+            return False
+        if (
+            args.net_sbs_port
+            or args.net_json_port
+            or args.net_ao_port
+            or args.net_beast_reduce_out_port
+        ):
+            return False
+        scalar_out = {
+            "sbs_out", "sbs_out_mlat", "sbs_out_prio", "sbs_out_jaero",
+            "sbs_out_replay", "asterix_out", "json_out",
+            "beast_reduce_out", "beast_reduce_plus_out", "feedmap_out",
+        }
+        for conn in args.net_connector or []:
+            parts = [t.strip() for t in str(conn).split(",")]
+            if len(parts) >= 3 and parts[2] in scalar_out:
+                return False
+        return True
 
     def _net_scorer(self):
         """All network inputs share one Scorer — the reference's ICAO

@@ -23,10 +23,13 @@ Equivalence: tests/test_bulk.py replays a capture through both paths and
 diffs every tracked column (positions, reliability, NIC/Rc, CPR state,
 counters) exactly.
 
-v2 scope = the hot local-demod path: remote-specific code (CPR network
-duplicate cache, receiver DB heuristics) is out of scope — BulkTracker
-requires a configured receiver location, like a single-receiver or
-channel-sharded deployment.  Covered message shapes are those of
+v3 scope = full aggregator parity: batches carrying a `receiver_id`
+column (and remote=True) run the CPR network duplicate cache
+(track.c:312-349), the per-feeder receiver-quality DB
+(receiverPositionReceived / receiverBad, receiver.c:141-246,320-351) and
+the cross-feeder speed-check rules; `receiver_lat=None` selects
+multi-receiver (aggregator) operation, where surface CPR references come
+from the feeder extent boxes.  Covered message shapes are those of
 decode/batch.py; anything else should take the scalar path.
 """
 
@@ -264,8 +267,19 @@ class _Cols:
         self.dc_ts = np.full((cap, 4), -(1 << 60), np.int64)
         self.dc_lat = z((cap, 4), np.int64)
         self.dc_lon = z((cap, 4), np.int64)
+        self.dc_rid = z((cap, 4), np.uint64)
         self.dc_n = z(cap, np.int64)
         self.dc_i = z(cap, np.int64)
+        # CPR network-duplicate cache ring (track.h CPR_CACHE=4,
+        # track.c:312-349): ts, cpr_lat, cpr_lon, receiverId
+        self.cc_ts = np.full((cap, 4), -(1 << 60), np.int64)
+        self.cc_lat = z((cap, 4), np.int64)
+        self.cc_lon = z((cap, 4), np.int64)
+        self.cc_rid = z((cap, 4), np.uint64)
+        self.cc_n = z(cap, np.int64)
+        self.cc_i = z(cap, np.int64)
+        # feeder of the last accepted position (lastPosReceiverId)
+        self.last_rid = z(cap, np.uint64)
 
     def grow(self, newcap: int):
         old = self.cap
@@ -287,14 +301,24 @@ class _Cols:
 class BulkTracker:
     def __init__(
         self,
-        receiver_lat: float,
-        receiver_lon: float,
+        receiver_lat: float | None,
+        receiver_lon: float | None,
         max_range_km: float = 450 * 1.852,
         json_reliable: int = 1,
         capacity: int = 1 << 14,
+        receivers=None,
     ):
+        # receiver_lat=None selects aggregator (multi-receiver) operation:
+        # no receiver-relative local CPR / max-range gating; surface CPR
+        # references and plausibility heuristics come from the per-feeder
+        # ReceiverStore instead (receiver.c:141-290)
         self.receiver_lat = receiver_lat
         self.receiver_lon = receiver_lon
+        if receivers is None:
+            from .receiver import ReceiverStore
+
+            receivers = ReceiverStore()
+        self.receivers = receivers
         self.max_range_m = max_range_km * 1000
         self.json_reliable = json_reliable
         self.cols = _Cols(capacity)
@@ -588,6 +612,30 @@ class BulkTracker:
         nic_b = mc["nic_b"][rows]
         par = odd.astype(np.int64)
         other = 1 - par
+        rids = mc["receiver_id"][rows] if "receiver_id" in mc else None
+        remote = bool(mc.get("remote")) and rids is not None
+
+        # CPR network duplicate: the same raw CPR from a *different*
+        # receiver within 2 s (cpr_duplicate_check, track.c:312-349)
+        netdup = np.zeros(len(rows), bool)
+        if remote:
+            netdup = (
+                (now[:, None] - c.cc_ts[s] < 2 * SECONDS)
+                & (c.cc_lat[s] == clat[:, None])
+                & (c.cc_lon[s] == clon[:, None])
+                & (c.cc_rid[s] != rids[:, None])
+            ).any(axis=1)
+            ins = ~netdup
+            if ins.any():
+                i = s[ins]
+                full = c.cc_n[i] >= 4
+                slot4 = np.where(full, (c.cc_i[i] + 1) % 4, c.cc_n[i])
+                c.cc_i[i] = np.where(full, slot4, c.cc_i[i])
+                c.cc_n[i] = np.minimum(c.cc_n[i] + ~full, 4)
+                c.cc_ts[i, slot4] = now[ins]
+                c.cc_lat[i, slot4] = clat[ins]
+                c.cc_lon[i, slot4] = clon[ins]
+                c.cc_rid[i, slot4] = rids[ins]
 
         self.cpr_surface += int(surf.sum())
         self.cpr_airborne += int((~surf).sum())
@@ -633,14 +681,35 @@ class BulkTracker:
                 )
                 g_lat, g_lon, g_ok = air_lat, air_lon, glob & air_ok
             if surf.any():
+                # surface global reference chain (track.c:759-777): user
+                # location, else the feeder's extent-box center, else the
+                # aircraft's own reliable position
+                if self.receiver_lat is not None:
+                    sref_lat = np.full(len(rows), self.receiver_lat)
+                    sref_lon = np.full(len(rows), self.receiver_lon)
+                    sref_ok = np.ones(len(rows), bool)
+                else:
+                    sref_lat = np.zeros(len(rows))
+                    sref_lon = np.zeros(len(rows))
+                    sref_ok = np.zeros(len(rows), bool)
+                    if rids is not None:
+                        for rid in np.unique(rids[surf]):
+                            ref = self.receivers.get_reference(int(rid))
+                            if ref is not None:
+                                msk = surf & (rids == rid)
+                                sref_lat[msk] = ref[0]
+                                sref_lon[msk] = ref[1]
+                                sref_ok |= msk
+                    fb = surf & ~sref_ok & (c.seen_pos[s] > 0) & c.surf_allow[s]
+                    sref_lat = np.where(fb, c.lat_rel[s], sref_lat)
+                    sref_lon = np.where(fb, c.lon_rel[s], sref_lon)
+                    sref_ok |= fb
                 su_lat, su_lon, su_ok = decode_surface_vec(
-                    self.receiver_lat, self.receiver_lon, elat, elon, olat, olon, odd
+                    sref_lat, sref_lon, elat, elon, olat, olon, odd
                 )
                 # surface decodes >450 km from the reference are rejected
-                sdist = greatcircle_vec(
-                    self.receiver_lat, self.receiver_lon, su_lat, su_lon
-                )
-                su_ok = su_ok & (sdist <= 450e3)
+                sdist = greatcircle_vec(sref_lat, sref_lon, su_lat, su_lon)
+                su_ok = su_ok & sref_ok & (sdist <= 450e3)
                 if (~surf).any():
                     g_lat = np.where(surf, su_lat, g_lat)
                     g_lon = np.where(surf, su_lon, g_lon)
@@ -661,8 +730,13 @@ class BulkTracker:
             & (now < c.seen_pos_global[s] + 10 * MINUTES)
             & c.allow_ac_rel[s]
         )
-        # receiver-relative: only airborne, and only if max_range < 360 NM
-        if self.max_range_m == 0 or self.max_range_m >= 1852 * 360:
+        # receiver-relative: only airborne, only with a configured receiver
+        # location, and only if max_range < 360 NM (track.c:882-905)
+        if (
+            self.receiver_lat is None
+            or self.max_range_m == 0
+            or self.max_range_m >= 1852 * 360
+        ):
             rec_rel = np.zeros(len(rows), bool)
             rec_limit = 0.0
         else:
@@ -672,15 +746,17 @@ class BulkTracker:
                 if self.max_range_m <= 1852 * 180
                 else 1852 * 360 - self.max_range_m
             )
-        ref_lat = np.where(ac_rel, c.lat[s], self.receiver_lat)
-        ref_lon = np.where(ac_rel, c.lon[s], self.receiver_lon)
+        rlat0 = self.receiver_lat if self.receiver_lat is not None else 0.0
+        rlon0 = self.receiver_lon if self.receiver_lon is not None else 0.0
+        ref_lat = np.where(ac_rel, c.lat[s], rlat0)
+        ref_lon = np.where(ac_rel, c.lon[s], rlon0)
         range_limit = np.where(ac_rel, 1852.0 * 100, rec_limit)
         l_lat, l_lon, l_ok = decode_relative_vec(ref_lat, ref_lon, clat, clon, odd, surf)
         l_ok &= ac_rel | rec_rel
         ldist = greatcircle_vec(ref_lat, ref_lon, l_lat, l_lon)
         l_ok &= ldist <= range_limit
-        rdist = greatcircle_vec(self.receiver_lat, self.receiver_lon, l_lat, l_lon)
-        if self.max_range_m > 0:
+        if self.receiver_lat is not None and self.max_range_m > 0:
+            rdist = greatcircle_vec(rlat0, rlon0, l_lat, l_lon)
             l_ok &= rdist <= self.max_range_m
         self.cpr_local_ok += int(l_ok.sum())
         self.cpr_local_skipped += int((loc_try & ~l_ok).sum())
@@ -704,7 +780,7 @@ class BulkTracker:
             return
         self._speed_and_set(
             rows, s, mc, have, lat, lon, used_global, d_nic, d_rc,
-            now, src, odd, surf, clat, clon,
+            now, src, odd, surf, clat, clon, rids, netdup,
         )
 
     def _accept_cols_pair(self, s, par, m_src, now):
@@ -718,30 +794,38 @@ class BulkTracker:
 
     def _speed_and_set(
         self, rows, s, mc, have, lat, lon, from_global, d_nic, d_rc,
-        now, src, odd, surf_msg, clat, clon,
+        now, src, odd, surf_msg, clat, clon, rids=None, netdup=None,
     ):
         """speed check + set position, columnar (track.c:423-736, 968+)."""
         c = self.cols
         m = have  # active mask over this round's position rows
         elapsed = np.maximum(0, now - c.pv_ts[s])
 
-        # duplicate check (track.c:350-377)
+        # duplicate check (track.c:350-377); the CPR network duplicate
+        # (netdup) takes the same early path as a decoded-position dup
         dup = m & (now <= c.seen_pos[s] + 2 * SECONDS) & (
             (c.lat[s] == lat) & (c.lon[s] == lon)
         )
         dup |= m & ~dup & (now <= c.prev_ts[s] + 2 * SECONDS) & (
             (c.prev_lat[s] == lat) & (c.prev_lon[s] == lon)
         )
+        if netdup is not None:
+            dup |= m & netdup
         pos_ignore = dup.copy()
 
-        # disc cache membership (track.c:390-421; local: no receiverId leg)
+        # disc cache membership (track.c:390-421); on the local path every
+        # rid is zero so the receiverId leg degenerates to a pure age check
+        rid_arr = rids if rids is not None else np.zeros(len(rows), np.uint64)
         in_dc = m & (
             (
                 (now[:, None] - c.dc_ts[s] < 4 * SECONDS)
                 & (c.dc_lat[s] == clat[:, None])
                 & (c.dc_lon[s] == clon[:, None])
             ).any(axis=1)
-            | ((now[:, None] - c.dc_ts[s] < 300).any(axis=1))
+            | (
+                (now[:, None] - c.dc_ts[s] < 300)
+                & (c.dc_rid[s] == rid_arr[:, None])
+            ).any(axis=1)
         )
 
         surface = (
@@ -845,7 +929,15 @@ class BulkTracker:
         speed = sp2
 
         rng += np.where(surface, 10.0, 30.0)
-        rng += np.where((elapsed < 2) & (src > int(Source.MLAT)), 500.0, 0.0)
+        # same TCP packet, same feeder (track.c:~1274): the rid equality is
+        # trivially true on the single-feeder/local path (both zero)
+        same_rid = (
+            c.last_rid[s] == rids if rids is not None
+            else np.ones(len(rows), bool)
+        )
+        rng += np.where(
+            (elapsed < 2) & same_rid & (src > int(Source.MLAT)), 500.0, 0.0
+        )
         speed = np.minimum(speed, 2000.0)
         is_mlat = src == int(Source.MLAT)
         speed = np.where(is_mlat, speed * 1.4 + 50, speed)
@@ -861,6 +953,47 @@ class BulkTracker:
         rng += (elapsed + 200.0) / 1000.0 * speed * KT2MS
         inrange = distance <= rng
 
+        # no going backwards against good track info across feeders
+        # (track.c:1295-1303); needs a different feeder than the last
+        # accepted position, so it never fires on the single-feeder path
+        if rids is not None:
+            back = (
+                ~surface
+                & (c.gs[s] > 10)
+                & (track_diff > 135)
+                & (elapsed < 2 * SECONDS)
+                & (np.maximum(0, now - c.track_ts[s]) < 2 * SECONDS)
+                & (c.last_rid[s] != rids)
+            )
+            inrange &= ~back
+
+        # aggregator receiver-quality DB (receiver.c:141-246,320-351):
+        # every plausible (or duplicate) position feeds the per-feeder
+        # extent box; RANGE_BAD positions defeat the override and count
+        # toward feeder quarantine
+        rex = np.zeros(len(rows), bool)
+        if self.receiver_lat is None and rids is not None:
+            cand = m & (dup | inrange | override)
+            if cand.any():
+                from .receiver import RANGE_BAD
+
+                need = self.receivers.reliability_required
+                no_mod = (
+                    (src != int(Source.ADSB))
+                    | surf_msg
+                    | (c.rel_odd[s] < need)
+                    | (c.rel_even[s] < need)
+                )
+                addrs = c.addr[s]
+                recv = self.receivers
+                verdict = recv.position_received_cols(
+                    np.where(cand, rids, np.uint64(0)),
+                    addrs, no_mod, lat, lon, now,
+                )
+                rex = (verdict == RANGE_BAD) & ~dup
+                for k in np.nonzero(rex)[0]:
+                    recv.bad(int(rids[k]), int(addrs[k]), int(now[k]))
+
         upd = m & ~pos_ignore
         c.su[s[upd]] = np.clip(c.su[s] + mm_su, 0, 16)[upd]
         c.tu[s[upd]] = np.clip(c.tu[s] + mm_tu, 0, 16)[upd]
@@ -868,6 +1001,8 @@ class BulkTracker:
         late = override & ~inrange
         c.last_override_ts[s[m & late]] = now[m & late]
         inrange |= override
+        inrange &= ~rex
+        pos_ignore |= rex
         passed = m & (dup | inrange)
 
         # --- position_bad for failures (tracker._update_position tail) -----
@@ -887,6 +1022,7 @@ class BulkTracker:
             c.dc_ts[i, slot4] = now[punish]
             c.dc_lat[i, slot4] = clat[punish]
             c.dc_lon[i, slot4] = clon[punish]
+            c.dc_rid[i, slot4] = rid_arr[punish]
             c.rel_odd[i] -= 0.26
             c.rel_even[i] -= 0.26
             rst = punish & ((c.rel_odd[s] < 0.1) | (c.rel_even[s] < 0.1))
@@ -925,6 +1061,8 @@ class BulkTracker:
         psrc = np.where(src == int(Source.PRIO), int(Source.ADSB), src)
         c.pv_src[i] = psrc[acc]
         c.pv_last[i] = psrc[acc]
+        if rids is not None:
+            c.last_rid[i] = rids[acc]  # lastPosReceiverId (track.c:1166)
 
         fg = acc & from_global
         c.seen_pos_global[s[fg]] = now[fg]

@@ -94,10 +94,6 @@ class ReceiverStore:
 
     def position_received(self, aircraft, mm, lat: float, lon: float, now: int) -> int:
         """receiverPositionReceived (receiver.c:141-246)."""
-        rid = mm.receiver_id
-        if rid == 0 or lat > 85.0 or lat < -85.0 or lon < -179.9 or lon > 179.9:
-            return RANGE_UNCLEAR
-
         from ..decode.fields import CprType, Source
 
         need = self.reliability_required
@@ -107,6 +103,19 @@ class ReceiverStore:
             or aircraft.pos_reliable_odd < need
             or aircraft.pos_reliable_even < need
         )
+        return self.position_received_row(
+            mm.receiver_id, aircraft.addr, no_modify, lat, lon, now
+        )
+
+    def position_received_row(
+        self, rid: int, addr: int, no_modify: bool,
+        lat: float, lon: float, now: int,
+    ) -> int:
+        """Row-level receiverPositionReceived core (receiver.c:141-246) —
+        shared by the dict tracker and the columnar BulkTracker (which
+        computes no_modify from its columns)."""
+        if rid == 0 or lat > 85.0 or lat < -85.0 or lon < -179.9 or lon > 179.9:
+            return RANGE_UNCLEAR
 
         r = self.receivers.get(rid)
         if r is None or r.position_counter == 0:
@@ -131,8 +140,8 @@ class ReceiverStore:
                 # require several distinct aircraft to agree before
                 # distrusting the whole extent (receiver.c:200-230)
                 bad_extent = True
-                for addr, _ts in r.bad_aircraft:
-                    if addr == aircraft.addr:
+                for ad0, _ts in r.bad_aircraft:
+                    if ad0 == addr:
                         bad_extent = False
                         break
                 if bad_extent:
@@ -140,7 +149,7 @@ class ReceiverStore:
                         (ad, ts) for ad, ts in r.bad_aircraft if now - ts <= 3 * MINUTES
                     ]
                     if len(r.bad_aircraft) < RECEIVER_BAD_AIRCRAFT:
-                        r.bad_aircraft.append((aircraft.addr, now))
+                        r.bad_aircraft.append((addr, now))
                         bad_extent = False
                 if bad_extent:
                     r.bad_extent = now
@@ -151,6 +160,84 @@ class ReceiverStore:
         if distance > RECEIVER_MAX_RANGE:
             return RANGE_BAD
         return RANGE_GOOD
+
+    def position_received_cols(self, rids, addrs, no_modify, lat, lon, now):
+        """Columnar receiverPositionReceived over one round of rows.
+
+        Verdicts are computed against each feeder's round-entry box center
+        and box updates are applied per feeder at round end — the same
+        ordering looseness the reference's decodePool threads have.  A
+        feeder whose box is not yet established falls back to the serial
+        row path (seeding is genuinely order-dependent).  Returns an int
+        verdict array (RANGE_GOOD/BAD/UNCLEAR).
+        """
+        import numpy as np
+
+        n = len(rids)
+        verdict = np.full(n, RANGE_UNCLEAR, np.int64)
+        ok = (
+            (rids != 0)
+            & (lat <= 85.0) & (lat >= -85.0)
+            & (lon >= -179.9) & (lon <= 179.9)
+        )
+        if not ok.any():
+            return verdict
+        for rid in np.unique(rids[ok]):
+            m = ok & (rids == rid)
+            r = self.receivers.get(int(rid))
+            if r is None or r.position_counter == 0:
+                # seeding path: serial per row (order-dependent)
+                for k in np.nonzero(m)[0]:
+                    verdict[k] = self.position_received_row(
+                        int(rid), int(addrs[k]), bool(no_modify[k]),
+                        float(lat[k]), float(lon[k]), int(now[k]),
+                    )
+                continue
+            clat, clon = r.lat, r.lon
+            la0, lo0 = math.radians(clat), math.radians(clon)
+            la1 = np.radians(lat[m])
+            lo1 = np.radians(lon[m])
+            a = (
+                np.sin((la1 - la0) / 2) ** 2
+                + math.cos(la0) * np.cos(la1) * np.sin((lo1 - lo0) / 2) ** 2
+            )
+            d = 6371e3 * 2 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+            verdict[m] = np.where(d > RECEIVER_MAX_RANGE, RANGE_BAD, RANGE_GOOD)
+            mod = ~no_modify[m]
+            if mod.any():
+                within = mod & (d < RECEIVER_MAX_RANGE)
+                if within.any():
+                    r.lat_min = min(r.lat_min, float(lat[m][within].min()))
+                    r.lat_max = max(r.lat_max, float(lat[m][within].max()))
+                    r.lon_min = min(r.lon_min, float(lon[m][within].min()))
+                    r.lon_max = max(r.lon_max, float(lon[m][within].max()))
+                    cnt = int(within.sum())
+                    r.good_counter += cnt
+                    r.bad_counter = max(0.0, r.bad_counter - 0.5 * cnt)
+                far = mod & (d > RECEIVER_MAX_RANGE)
+                if far.any() and not r.bad_extent:
+                    idx = np.nonzero(m)[0][far]
+                    for k in idx:
+                        bad_extent = True
+                        for ad0, _ts in r.bad_aircraft:
+                            if ad0 == int(addrs[k]):
+                                bad_extent = False
+                                break
+                        if bad_extent:
+                            nk = int(now[k])
+                            r.bad_aircraft = [
+                                (ad, ts) for ad, ts in r.bad_aircraft
+                                if nk - ts <= 3 * MINUTES
+                            ]
+                            if len(r.bad_aircraft) < RECEIVER_BAD_AIRCRAFT:
+                                r.bad_aircraft.append((int(addrs[k]), nk))
+                                bad_extent = False
+                        if bad_extent:
+                            r.bad_extent = int(now[k])
+                            break
+                r.position_counter += int(mod.sum())
+                r.last_seen = int(now[m][mod].max())
+        return verdict
 
     def get_reference(self, rid: int) -> Optional[tuple[float, float]]:
         """receiverGetReference (receiver.c:247-290)."""

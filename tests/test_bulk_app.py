@@ -55,8 +55,9 @@ def _stream(n=30000):
 
 def _run(frames, bulk: bool):
     argv = ["--net-only", "--quiet", "--lat", "49.5", "--lon", "3.5"]
-    if bulk:
-        argv.append("--net-bulk-drain")
+    # bulk drain is auto-enabled by default (VERDICT r5 #7); the scalar
+    # leg must opt out explicitly
+    argv.append("--net-bulk-drain" if bulk else "--no-net-bulk-drain")
     app = App(parse_args(argv))
     scorer = app._net_scorer()
     t0 = time.perf_counter()

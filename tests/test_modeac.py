@@ -98,10 +98,13 @@ def test_tracker_modeac_count_and_match():
     from readsb_tpu.decode.fields import ModesMessage
 
     a = None
-    for _ in range(2):  # squawk needs double-confirmation (track.c:2071)
-        ms = ModesMessage(msgtype=11, addr=0xABCDEF, sys_timestamp_ms=now,
+    # squawk needs double-confirmation with the tentative held >750 ms
+    # (track.c:2081-2087)
+    for t in (now, now + 800):
+        ms = ModesMessage(msgtype=11, addr=0xABCDEF, sys_timestamp_ms=t,
                           source=Source.MODE_S, squawk_hex=0x1200)
         a = tr.update(ms)
+    now += 800
     assert a is not None and a.squawk == 0x1200
     tr.match_ac(now)
     assert a.modea_hit

@@ -96,7 +96,10 @@ def _feed_positions(app, n, addr=0x400001, t0=10_000, dt_ms=40):
 
 
 def test_beast_reduce_rate_limit():
-    app = make_app()
+    # beast_reduce needs the scalar per-message path; a configured reduce
+    # port would auto-disable bulk drain, but this test attaches its
+    # client directly, so force it off
+    app = make_app(["--no-net-bulk-drain"])
     w = FakeWriter()
     app.out_beast_reduce.clients.add(w)
     _feed_positions(app, 20, dt_ms=40)  # 800 ms of positions at 25 Hz

@@ -36,13 +36,18 @@ for i in range(N):
             encode_df17_position(addr, lat, lon, 30000 + ac % 1000, seq % 2)
         )
 
+# multi-feeder: 50 feeders, one per aircraft stripe (exercises the
+# receiver-quality DB + CPR duplicate cache on the measured path)
+N_FEED = 50
 frames = [
     beast_io.BeastFrame(msg=m, timestamp=i * 500, signal_byte=40,
-                        msg_type=0, receiver_id=0, synthetic_ms=1_000_000 + i // 100)
+                        msg_type=0,
+                        receiver_id=0x1000_0000 + (i % N_AC) % N_FEED,
+                        synthetic_ms=1_000_000 + i // 100)
     for i, m in enumerate(msgs)
 ]
 
-app = App(parse_args(["--net-only", "--quiet"]))
+app = App(parse_args(["--net-only", "--quiet", "--no-net-bulk-drain"]))
 scorer = app._net_scorer()
 
 t0 = time.perf_counter()
@@ -69,12 +74,17 @@ def bench_bulk(n=N):
         msgs_np[i, : len(m)] = np.frombuffer(m, np.uint8)
     ts = (1_000_000 + np.arange(len(msgs)) // 100).astype(np.int64)
     addrs = np.array([0x400000 + (i % 5000) for i in range(len(msgs))], np.int64)
+    rids = (0x1000_0000 + (addrs - 0x400000) % N_FEED).astype(np.uint64)
 
-    bulk = BulkTracker(50.5, 4.0)
+    # aggregator mode: no receiver location; feeder extent boxes, CPR
+    # duplicate cache and receiverPositionReceived all active (v3 scope)
+    bulk = BulkTracker(None, None)
     chunk = 8192  # one drain batch
     t0 = time.perf_counter()
     for a in range(0, len(msgs), chunk):
         cols = decode_columns(msgs_np[a : a + chunk], ts[a : a + chunk], addrs[a : a + chunk])
+        cols["receiver_id"] = rids[a : a + chunk]
+        cols["remote"] = True
         bulk.update_batch(cols)
     dt = time.perf_counter() - t0
     rate = len(msgs) / dt
@@ -92,7 +102,7 @@ art = {
     "scalar_msgs_per_s": round(N / dt),
     "bulk_msgs_per_s": round(rate_bulk),
     "n_msgs": N,
-    "note": "aggregator ingest: beast frames -> decode -> track; scalar = per-message Python path, bulk = columnar BulkTracker (decode/batch.py + track/bulk.py)",
+    "note": "aggregator ingest, multi-feeder (50 receiverIds), receiver DB + CPR dup cache active; scalar = per-message Python path, bulk = columnar BulkTracker aggregator mode",
 }
 with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_NET.json"), "w") as f:
     json.dump(art, f, indent=1)
@@ -110,18 +120,22 @@ def bench_bulk_app():
     from readsb_tpu.app.bulk_drain import materialize
     from readsb_tpu.io.json_out import aircraft_dict
 
-    # wire stream with synthetic timestamps (replay clock)
+    # wire stream with synthetic timestamps + per-frame feeder switches
+    # (0xE3 receiverId prefixes), like an aggregator's multiplexed ingest
     parts = []
+    rid_cache = {
+        r: beast_io.encode_receiver_id(0x1000_0000 + r) for r in range(N_FEED)
+    }
     for i, m in enumerate(msgs):
         if i % 100 == 0:
             parts.append(beast_io.encode_synthetic_ts(1_000_000 + i // 100))
+        parts.append(rid_cache[(i % N_AC) % N_FEED])
         parts.append(beast_io.encode_frame(m, i * 500, 0.04))
     wire = b"".join(parts)
 
-    app2 = App(parse_args([
-        "--net-only", "--quiet", "--lat", "50.5", "--lon", "4.0",
-        "--net-bulk-drain",
-    ]))
+    # aggregator deployment: no receiver location, bulk drain on by default
+    app2 = App(parse_args(["--net-only", "--quiet"]))
+    assert app2.bulk is not None, "bulk drain should be on by default"
     conn = app2._beast_input_factory()()
 
     async def pump():
