@@ -50,7 +50,9 @@ def _to_mag(raw: np.ndarray, fmt: str) -> jax.Array:
         n = len(raw) // 2
         if pallas_kernels.supported() and n % (pallas_kernels.ROWS_PER_STEP * 128) == 0:
             # bit-exact with the LUT (tests/test_pallas.py), ~6x faster on TPU
-            return pallas_kernels.mag_uc8_pallas(jnp.asarray(raw))
+            return pallas_kernels.mag_uc8_pallas(
+                jnp.asarray(raw), interpret=pallas_kernels.INTERPRET
+            )
         return convert_ops.mag_uc8(jnp.asarray(raw))
     iq16 = raw.view("<i2")
     if fmt == "sc16":
