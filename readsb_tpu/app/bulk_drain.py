@@ -150,6 +150,9 @@ def ingest_columns(app, msgs, ts, rts, rids, sig) -> None:
     cols["receiver_id"] = rids[rows].astype(np.uint64)
     cols["remote"] = True  # network ingest: CPR duplicate cache active
     app.bulk.update_batch(cols)
+    if app.arena is not None:
+        # --device-arena: the same batch updates the device SoA store
+        app.arena.update_cols(cols)
 
     # exotic-shape rows take the scalar field decoder for their extra
     # fields; covered fields they also set are reconciled by materialize
@@ -317,3 +320,57 @@ def materialize(app, now: int) -> None:
 
 
 _SRC_MEMBERS = {int(m): m for m in Source}
+
+
+def materialize_arena(app, now: int) -> None:
+    """--device-arena: overlay arena-owned fields from the device SoA
+    snapshot onto the serving tracker (VERDICT r5 #5 stage 1).
+
+    The arena implements the same accept lattice / altitude / squawk
+    semantics as the columnar host tracker (fuzz-proven equal,
+    tests/test_arena.py), so the overlay is value-identical with the
+    bulk sync — the point is that the authoritative store for these
+    fields lives ON DEVICE in this mode."""
+    import jax
+
+    from ..track.arena import FIELD_IDX, TRACK_EXPIRE
+
+    arena = app.arena
+    tr = app.tracker
+    st = jax.device_get(arena.state)
+    SRC = _SRC_MEMBERS
+    for addr, s in arena.slot_of.items():
+        if st.icao[s] < 0:
+            continue
+        a = tr.get_or_create(addr, int(st.seen[s]))
+        if int(st.seen[s]) > a.seen:
+            a.seen = int(st.seen[s])
+        for name, j in FIELD_IDX.items():
+            if st.fsrc[s, j] < 0:
+                continue
+            v = getattr(a, name + "_valid")
+            if int(st.fts[s, j]) > v.updated:
+                setattr(a, name, float(st.fval[s, j]))
+                v.updated = int(st.fts[s, j])
+                v.source = v.last_source = SRC[int(st.fsrc[s, j])]
+        if st.alt_src[s] >= 0 and int(st.alt_ts[s]) > a.baro_alt_valid.updated:
+            a.baro_alt = int(st.alt[s])
+            a.alt_reliable = int(st.alt_rel[s])
+            v = a.baro_alt_valid
+            v.updated = int(st.alt_ts[s])
+            v.source = v.last_source = SRC[int(st.alt_src[s])]
+        if st.sq_src[s] >= 0 and int(st.sq_ts[s]) > a.squawk_valid.updated:
+            a.squawk = int(st.squawk[s]) if st.squawk[s] >= 0 else None
+            v = a.squawk_valid
+            v.updated = int(st.sq_ts[s])
+            v.source = v.last_source = SRC[int(st.sq_src[s])]
+        if st.cs_src[s] >= 0 and int(st.cs_ts[s]) > a.callsign_valid.updated:
+            b0 = int(st.callsign[s, 0]) + (1 << 31)
+            b1 = int(st.callsign[s, 1]) + (1 << 31)
+            a.callsign = (
+                (b0.to_bytes(4, "big") + b1.to_bytes(4, "big"))
+                .decode("latin1").rstrip("\x00").rstrip()
+            )
+            v = a.callsign_valid
+            v.updated = int(st.cs_ts[s])
+            v.source = v.last_source = SRC[int(st.cs_src[s])]

@@ -147,6 +147,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-net-bulk-drain", dest="net_bulk_drain", action="store_false",
         help=argparse.SUPPRESS,
     )
+    p.add_argument(
+        "--device-arena", action="store_true",
+        help="mirror the drained batches into the device aircraft arena "
+             "(track/arena.py: SoA state + accept lattice + altitude/"
+             "squawk logic + global airborne CPR decode ON DEVICE); the "
+             "serving tracker materializes arena-owned fields from the "
+             "device snapshot each tick.  Requires the columnar drain.",
+    )
     p.add_argument("--net-ri-port", type=_ports, default=[], help="raw input listen port")
     p.add_argument("--net-ro-port", type=_ports, default=[], help="raw output listen port")
     p.add_argument("--net-bi-port", type=_ports, default=[], help="beast input listen port")

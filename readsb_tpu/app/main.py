@@ -63,11 +63,18 @@ class App:
         self._net_queue = []
         self._shared_net_scorer = None
         self.bulk = None
+        self.arena = None
         self._net_cols_queue: list = []
         if self._bulk_drain_enabled(args):
             from .bulk_drain import make_bulk
 
             self.bulk = make_bulk(self)
+            if getattr(args, "device_arena", False):
+                from ..track.arena import Arena
+
+                self.arena = Arena()
+        elif getattr(args, "device_arena", False):
+            log.warning("--device-arena needs the columnar drain; ignored")
         self.epoch_ms = int(time.time() * 1000)
         self.messages = 0
         self.remote_modes = 0
@@ -1052,6 +1059,10 @@ class App:
                 from .bulk_drain import materialize
 
                 materialize(self, now)
+                if self.arena is not None:
+                    from .bulk_drain import materialize_arena
+
+                    materialize_arena(self, now)
             self.stats_collector.sample(self, now / 1000.0)
             if getattr(self, "api_server", None) is not None:
                 # double-buffered query snapshot swap (apiUpdate, api.c:859)
@@ -1069,6 +1080,8 @@ class App:
 
                 self.out_vrs.send(vrs_io.generate_vrs(self.tracker, now))
             self.tracker.remove_stale(now)
+            if self.arena is not None:
+                self.arena.sweep(now)
             if args.modeac_auto and not args.modeac:
                 # autoset_modeac (net_io.c:3577): demod A/C only while some
                 # beast client has requested it with the '1J' command
@@ -1604,6 +1617,10 @@ class App:
                 from .bulk_drain import materialize
 
                 materialize(self, self.now_ms())
+                if self.arena is not None:
+                    from .bulk_drain import materialize_arena
+
+                    materialize_arena(self, self.now_ms())
             if self.args.json_globe_index and self.args.write_json:
                 # flush dirty traces so short runs / clean exits leave
                 # complete trace files (the reference's exit sweep)

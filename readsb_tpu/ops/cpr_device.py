@@ -1,0 +1,149 @@
+"""Device-side CPR global airborne decode (cpr.c:170-221) — exact int32.
+
+TPUs have no native f64, but the hard part of a CPR decode — latitude
+index resolution, NL zone lookup, zone agreement, longitude index — is
+exact integer lattice math once reformulated:
+
+  X  = 59*elat - 60*olat                   (|X| < 2^23, int32)
+  j  = floor(X/131072 + 1/2) = (2X + 131072) >> 18   (arith shift floors)
+  rlat0 = 6*K0/131072        with K0 = 131072*(j mod 60) + elat
+  rlat1 = 45*K1/(59*16384)   with K1 = 131072*(j mod 59) + olat
+  (both numerators < 2^29: every compare below is exact in int32)
+
+The >=270 wrap, the [-90, 90] range check and the NL table lookup become
+integer threshold compares: bound b on rlat0 maps to K0 < ceil(b*131072/6),
+on rlat1 to K1 < ceil(b*59*16384/45) — precomputed per denominator.
+The longitude index m = floor((elon*(nl-1) - olon*nl)/131072 + 1/2) is
+the same shift trick.
+
+The device returns the integer DECISIONS (ok, nl, ni, j, m); converting
+to degrees is a two-multiply f64 map the host applies vectorized with
+the reference's exact expressions (so the float results are bit-identical
+with the scalar chain).  Note: at exact cell boundaries (measure-zero
+inputs where rlat lands on 270 or an NL bound) the exact integer compare
+can disagree with the reference's double-rounded f64 compare; real CPR
+traffic never sits on these boundaries and the parity tests replay real
+lattices.
+
+SURVEY build-plan step 6 / VERDICT r5 #5 stage 2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decode.cpr import _NL_BOUNDS
+
+_Q0 = 131072  # rlat0 denominator scale (per 6 deg)
+_WRAP0 = 60 * 131072  # 360 deg in K0 units
+_HI0 = 45 * 131072  # 270 deg in K0 units
+_R0 = 15 * 131072  # 90 deg in K0 units
+_WRAP1 = 59 * 131072  # 360 deg in K1 units
+_HI1 = 59 * 131072 * 3 // 4  # 270 deg (exact: divisible by 4)
+_R1 = 59 * 131072 // 4  # 90 deg (exact)
+
+
+@functools.lru_cache(maxsize=None)
+def _nl_thresholds() -> tuple[np.ndarray, np.ndarray]:
+    """Integer NL thresholds for the K0 and K1 numerators.
+
+    nl(lat) = 59 - #{i : |lat| >= bound_i}; |rlat0| < b <=> |K0| < b*131072/6
+    and |rlat1| < b <=> |K1|*45 < b*59*16384.  ceil() in f64 is exact to
+    well under one integer step at these magnitudes.
+    """
+    import math
+
+    b = np.array([bound for bound, _ in _NL_BOUNDS])
+    t0 = np.array([math.ceil(x * 131072 / 6) for x in b], np.int32)
+    t1 = np.array([math.ceil(x * 59 * 16384 / 45) for x in b], np.int32)
+    return t0, t1
+
+
+def _mod(a, b):
+    r = a % b
+    return jnp.where(r < 0, r + b, r)
+
+
+def decode_airborne_core(elat, elon, olat, olon, fflag):
+    """Traceable exact-int airborne global CPR core (cpr.c:170-221).
+
+    All inputs int32 arrays (17-bit CPR values; fflag bool/int).
+    Returns dict of int32 arrays: ok, j (zone index), nl, ni, m
+    (longitude index).  Degrees come from the host map
+    `airborne_latlon_f64` below.  Usable inside other jitted programs
+    (the device arena calls it inside its update scan).
+    """
+    elat = elat.astype(jnp.int32)
+    olat = olat.astype(jnp.int32)
+    elon = elon.astype(jnp.int32)
+    olon = olon.astype(jnp.int32)
+    f = fflag.astype(jnp.int32)
+
+    x = 59 * elat - 60 * olat
+    j = (2 * x + _Q0) >> 18
+    j60 = _mod(j, 60)
+    j59 = _mod(j, 59)
+    k0 = _Q0 * j60 + elat
+    k1 = _Q0 * j59 + olat
+    k0 = jnp.where(k0 >= _HI0, k0 - _WRAP0, k0)
+    k1 = jnp.where(k1 >= _HI1, k1 - _WRAP1, k1)
+    ok = (jnp.abs(k0) <= _R0) & (jnp.abs(k1) <= _R1)
+
+    t0, t1 = _nl_thresholds()
+    t0 = jnp.asarray(t0)
+    t1 = jnp.asarray(t1)
+    a0 = jnp.abs(k0)
+    a1 = jnp.abs(k1)
+    nl0 = 59 - jnp.sum((a0[..., None] >= t0).astype(jnp.int32), axis=-1)
+    nl1 = 59 - jnp.sum((a1[..., None] >= t1).astype(jnp.int32), axis=-1)
+    ok &= nl0 == nl1
+
+    nlv = jnp.where(f != 0, nl1, nl0)
+    ni = jnp.maximum(nlv - f, 1)
+    mnum = elon * (nlv - 1) - olon * nlv
+    m = (2 * mnum + _Q0) >> 18
+    mm = _mod(m, ni)
+    return {
+        "ok": ok,
+        "j": j,
+        "nl": nlv,
+        "ni": ni,
+        "m": mm,
+        "k_lat": jnp.where(f != 0, k1, k0),
+    }
+
+
+decode_airborne_device = jax.jit(decode_airborne_core)
+
+
+def airborne_latlon_f64(dev: dict, elat, elon, olat, olon, fflag):
+    """Host f64 map from the device's integer decisions to degrees,
+    using the reference's exact float expressions (cpr.c:183-218) so the
+    results are bit-identical with decode_airborne/decode_airborne_vec.
+    Inputs/outputs numpy; call with np.asarray(jax outputs)."""
+    j = np.asarray(dev["j"]).astype(np.int64)
+    ni = np.asarray(dev["ni"]).astype(np.int64)
+    nlv = np.asarray(dev["nl"]).astype(np.int64)
+    mm = np.asarray(dev["m"]).astype(np.int64)
+    f = np.asarray(fflag).astype(bool)
+    elat = np.asarray(elat, np.float64)
+    olat = np.asarray(olat, np.float64)
+    elon = np.asarray(elon, np.float64)
+    olon = np.asarray(olon, np.float64)
+
+    dlat0 = 360.0 / 60.0
+    dlat1 = 360.0 / 59.0
+    rlat0 = dlat0 * (np.mod(j, 60) + elat / 131072)
+    rlat1 = dlat1 * (np.mod(j, 59) + olat / 131072)
+    rlat0 = np.where(rlat0 >= 270, rlat0 - 360, rlat0)
+    rlat1 = np.where(rlat1 >= 270, rlat1 - 360, rlat1)
+    rlat = np.where(f, rlat1, rlat0)
+
+    dlon = 360.0 / ni
+    rlon = dlon * (mm + np.where(f, olon, elon) / 131072)
+    rlon -= np.floor((rlon + 180) / 360) * 360
+    return rlat, rlon

@@ -26,9 +26,13 @@ field-specific accept rules run on-device:
     accept, else the tentative must have held unchanged for >750 ms
   - callsign + counters + seen
 
-The CPR position chain stays host-side (f64; SURVEY build-plan note).
-tests/test_arena.py replays fuzzed streams (altitude excursions, squawk
-churn) through the dict tracker and diffs final states field for field.
+v3 adds the CPR pair store and the GLOBAL AIRBORNE decode on device
+(ops/cpr_device.py: exact int32 lattice + NL thresholds inside the
+update scan); the host converts the integer decisions to f64 degrees
+with the reference's exact expressions and keeps the speed-check /
+acceptance chain (SURVEY build-plan step 6 staging).  tests/test_arena.py
+replays fuzzed streams (altitude excursions, squawk churn, CPR lattices)
+through the dict tracker and diffs final states field for field.
 """
 
 from __future__ import annotations
@@ -40,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tracker import TRACK_EXPIRE, TRACK_STALE, Source
+from .tracker import CPR_MAX_INTERVAL, TRACK_EXPIRE, TRACK_STALE, Source
 
 ARENA_SLOTS = 1 << 17
 _NEVER = -(1 << 30)
@@ -89,6 +93,13 @@ class ArenaState(NamedTuple):
     sq_src: jax.Array  # int32[N]
     sq_tent: jax.Array  # int32[N]
     sq_tent_ts: jax.Array  # int32[N] ms of last tentative change
+    # CPR pair state (track.c:1249-1385 head): index 0=even, 1=odd;
+    # raw values always overwrite, the clock moves via accept_data
+    c_lat: jax.Array  # int32[N, 2]
+    c_lon: jax.Array  # int32[N, 2]
+    c_surf: jax.Array  # bool[N, 2]
+    c_ts: jax.Array  # int32[N, 2]
+    c_src: jax.Array  # int32[N, 2]
 
 
 def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
@@ -112,6 +123,11 @@ def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
         sq_src=jnp.full(n, -1, jnp.int32),
         sq_tent=jnp.full(n, -1, jnp.int32),
         sq_tent_ts=jnp.full(n, _NEVER, jnp.int32),
+        c_lat=jnp.zeros((n, 2), jnp.int32),
+        c_lon=jnp.zeros((n, 2), jnp.int32),
+        c_surf=jnp.zeros((n, 2), bool),
+        c_ts=jnp.full((n, 2), _NEVER, jnp.int32),
+        c_src=jnp.full((n, 2), -1, jnp.int32),
     )
 
 
@@ -133,6 +149,11 @@ class UpdateBatch(NamedTuple):
     crc0: jax.Array  # bool[M] mm.crc == 0
     sq_valid: jax.Array  # bool[M]
     sq: jax.Array  # int32[M] squawk hex
+    cpr_valid: jax.Array  # bool[M]
+    cpr_odd: jax.Array  # bool[M]
+    cpr_surf: jax.Array  # bool[M]
+    cpr_lat: jax.Array  # int32[M] raw 17-bit CPR
+    cpr_lon: jax.Array  # int32[M]
 
 
 def _scatter(base, slot, mask, vals, fill):
@@ -158,7 +179,8 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
     def round_step(carry, r):
         (fval, fts, fsrc, callsign, cs_ts, cs_src,
          alt, alt_ts, alt_src, alt_rel, alt_set,
-         squawk, sq_ts, sq_src, sq_tent, sq_tent_ts) = carry
+         squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
+         c_lat, c_lon, c_surf, c_ts, c_src) = carry
         mrow = live & (b.rank == r)
         slot = jnp.where(mrow, b.slot, n)
 
@@ -293,19 +315,70 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         sq_tent = jnp.where(change_tent, q_val, sq_tent)
         sq_tent_ts = jnp.where(change_tent, u_ts, sq_tent_ts)
 
+        # --- CPR pair + device global airborne decode ----------------------
+        # pair raw values always overwrite; the clock moves via accept_data
+        # (tracker._update_position head, track.c:1249-1385)
+        p_have = _scatter(jnp.zeros(n, bool), slot, mrow & b.cpr_valid,
+                          b.cpr_valid, False)
+        p_odd = _scatter(jnp.zeros(n, bool), slot, mrow, b.cpr_odd, False)
+        p_surf = _scatter(jnp.zeros(n, bool), slot, mrow, b.cpr_surf, False)
+        p_lat = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.cpr_lat, 0)
+        p_lon = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.cpr_lon, 0)
+        par = p_odd.astype(jnp.int32)  # 0=even, 1=odd
+        sel = jax.nn.one_hot(par, 2, dtype=bool) & p_have[:, None]
+        c_lat = jnp.where(sel, p_lat[:, None], c_lat)
+        c_lon = jnp.where(sel, p_lon[:, None], c_lon)
+        c_surf = jnp.where(sel, p_surf[:, None], c_surf)
+        pair_ts = jnp.take_along_axis(c_ts, par[:, None], axis=1)[:, 0]
+        pair_src = jnp.take_along_axis(c_src, par[:, None], axis=1)[:, 0]
+        acc_p = p_have & gate(pair_ts, pair_src)
+        c_ts = jnp.where(sel & acc_p[:, None], u_ts[:, None], c_ts)
+        c_src = jnp.where(sel & acc_p[:, None], p_src[:, None], c_src)
+
+        # global eligibility (tracker._update_position): other parity
+        # fresh, close in time, same type; device decode = airborne only
+        opar = (1 - par)[:, None]
+        o_ts = jnp.take_along_axis(c_ts, opar, axis=1)[:, 0]
+        o_src = jnp.take_along_axis(c_src, opar, axis=1)[:, 0]
+        o_surf = jnp.take_along_axis(c_surf, opar, axis=1)[:, 0]
+        pt = jnp.take_along_axis(c_ts, par[:, None], axis=1)[:, 0]
+        glob = (
+            p_have
+            & (o_src >= 0)
+            & (u_ts < o_ts + TRACK_EXPIRE)
+            & (jnp.abs(pt - o_ts) <= CPR_MAX_INTERVAL)
+            & (o_surf == p_surf)
+            & ~p_surf
+        )
+        from ..ops.cpr_device import decode_airborne_core
+
+        dec = decode_airborne_core(
+            c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1], par
+        )
+        dec_ok = glob & dec["ok"]
+        ys = jnp.stack(
+            [dec_ok.astype(jnp.int32), dec["j"], dec["nl"], dec["ni"],
+             dec["m"], c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1]],
+            axis=1,
+        )  # (n, 9) per-round device decode record
+
         return (fval, fts, fsrc, callsign, cs_ts, cs_src,
                 alt, alt_ts, alt_src, alt_rel, alt_set,
-                squawk, sq_ts, sq_src, sq_tent, sq_tent_ts), None
+                squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
+                c_lat, c_lon, c_surf, c_ts, c_src), ys
 
     carry = (state.fval, state.fts, state.fsrc, state.callsign,
              state.cs_ts, state.cs_src, state.alt, state.alt_ts,
              state.alt_src, state.alt_rel, state.alt_set, state.squawk,
-             state.sq_ts, state.sq_src, state.sq_tent, state.sq_tent_ts)
-    carry, _ = jax.lax.scan(
+             state.sq_ts, state.sq_src, state.sq_tent, state.sq_tent_ts,
+             state.c_lat, state.c_lon, state.c_surf, state.c_ts,
+             state.c_src)
+    carry, cpr_ys = jax.lax.scan(
         round_step, carry, jnp.arange(rounds, dtype=jnp.int32)
     )
     (fval, fts, fsrc, callsign, cs_ts, cs_src, alt, alt_ts, alt_src,
-     alt_rel, alt_set, squawk, sq_ts, sq_src, sq_tent, sq_tent_ts) = carry
+     alt_rel, alt_set, squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
+     c_lat, c_lon, c_surf, c_ts, c_src) = carry
     return ArenaState(
         icao=icao, seen=seen, messages=messages,
         fval=fval, fts=fts, fsrc=fsrc,
@@ -314,7 +387,8 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         alt_set=alt_set,
         squawk=squawk, sq_ts=sq_ts, sq_src=sq_src, sq_tent=sq_tent,
         sq_tent_ts=sq_tent_ts,
-    )
+        c_lat=c_lat, c_lon=c_lon, c_surf=c_surf, c_ts=c_ts, c_src=c_src,
+    ), cpr_ys
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -349,6 +423,11 @@ def arena_sweep(state: ArenaState, now_ms, ttl_ms) -> tuple[ArenaState, jax.Arra
         sq_src=clr(state.sq_src, -1),
         sq_tent=clr(state.sq_tent, -1),
         sq_tent_ts=clr(state.sq_tent_ts, _NEVER),
+        c_lat=clr(state.c_lat, 0),
+        c_lon=clr(state.c_lon, 0),
+        c_surf=clr(state.c_surf, False),
+        c_ts=clr(state.c_ts, _NEVER),
+        c_src=clr(state.c_src, -1),
     )
     return ns, dead
 
@@ -361,6 +440,10 @@ class Arena:
         self.state = empty_arena(n)
         self.slot_of: dict[int, int] = {}
         self.free: list[int] = list(range(n - 1, -1, -1))
+        # device-decoded global airborne positions, appended per batch:
+        # (addr, ts_ms, fflag, lat, lon) — consumers (tests, the app's
+        # --device-arena path) drain this list
+        self.cpr_decodes: list[tuple] = []
 
     def _slot(self, addr: int) -> int:
         s = self.slot_of.get(addr)
@@ -401,6 +484,11 @@ class Arena:
         crc0 = np.zeros(mpad, bool)
         sq_valid = np.zeros(mpad, bool)
         sq = np.full(mpad, -2, np.int32)
+        cpr_valid = np.zeros(mpad, bool)
+        cpr_odd = np.zeros(mpad, bool)
+        cpr_surf = np.zeros(mpad, bool)
+        cpr_lat = np.zeros(mpad, np.int32)
+        cpr_lon = np.zeros(mpad, np.int32)
         for i, (s, r, addr, mm) in enumerate(rows):
             slot[i] = s
             rank[i] = r
@@ -428,6 +516,14 @@ class Arena:
             if qv is not None:
                 sq_valid[i] = True
                 sq[i] = int(qv)
+            if getattr(mm, "cpr_valid", False):
+                from ..decode.fields import CprType
+
+                cpr_valid[i] = True
+                cpr_odd[i] = bool(mm.cpr_odd)
+                cpr_surf[i] = mm.cpr_type == CprType.SURFACE
+                cpr_lat[i] = int(mm.cpr_lat)
+                cpr_lon[i] = int(mm.cpr_lon)
         batch = UpdateBatch(
             slot=jnp.asarray(slot), rank=jnp.asarray(rank),
             icao=jnp.asarray(icao), ts=jnp.asarray(ts),
@@ -436,8 +532,123 @@ class Arena:
             alt_valid=jnp.asarray(alt_valid), alt=jnp.asarray(alt),
             alt_q=jnp.asarray(alt_q), crc0=jnp.asarray(crc0),
             sq_valid=jnp.asarray(sq_valid), sq=jnp.asarray(sq),
+            cpr_valid=jnp.asarray(cpr_valid), cpr_odd=jnp.asarray(cpr_odd),
+            cpr_surf=jnp.asarray(cpr_surf), cpr_lat=jnp.asarray(cpr_lat),
+            cpr_lon=jnp.asarray(cpr_lon),
         )
-        self.state = arena_update(self.state, batch, rounds)
+        self.state, cpr_ys = arena_update(self.state, batch, rounds)
+        recs = [
+            (r, s, addr, mm) for (s, r, addr, mm) in rows
+            if getattr(mm, "cpr_valid", False)
+        ]
+        if recs:
+            self._collect_cpr(
+                np.array([r for r, _, _, _ in recs]),
+                np.array([s for _, s, _, _ in recs]),
+                np.array([a for _, _, a, _ in recs]),
+                np.array([mm.sys_timestamp_ms for _, _, _, mm in recs]),
+                np.array([bool(mm.cpr_odd) for _, _, _, mm in recs]),
+                np.asarray(cpr_ys),
+            )
+
+    def update_cols(self, cols: dict) -> None:
+        """Columnar batch feed (decode/batch.py columns) — the live-app
+        --device-arena path: the drained network batch updates the device
+        SoA directly, no per-message objects (VERDICT r5 #5 stage 1)."""
+        addrs = np.asarray(cols["addr"], np.int64) & 0xFFFFFF
+        m = len(addrs)
+        if m == 0:
+            return
+        slots = np.fromiter((self._slot(int(a)) for a in addrs), np.int64, m)
+        order = np.argsort(slots, kind="stable")
+        ss = slots[order]
+        first = np.searchsorted(ss, ss)
+        rank = np.empty(m, np.int64)
+        rank[order] = np.arange(m) - first
+        rounds = int(rank.max()) + 1
+        rounds = max(1, 1 << (rounds - 1).bit_length())
+        mpad = max(256, 1 << (m - 1).bit_length())
+
+        def pad(a, fill, dtype):
+            out = np.full(mpad, fill, dtype)
+            out[:m] = a
+            return out
+
+        fmask = np.zeros((mpad, NFIELDS), bool)
+        fval = np.zeros((mpad, NFIELDS), np.float32)
+        for name, col, vcol in (
+            ("gs", "gs", "gs_valid"),
+            ("baro_rate", "baro_rate", "baro_rate_valid"),
+            ("geom_rate", "geom_rate", "geom_rate_valid"),
+        ):
+            j = FIELD_IDX[name]
+            fmask[:m, j] = cols[vcol]
+            fval[:m, j] = np.where(cols[vcol], cols[col], 0).astype(np.float32)
+
+        csb = np.asarray(cols["callsign"], np.uint32)  # (m, 8) chars
+        cs = np.zeros((mpad, 2), np.int32)
+        cs[:m, 0] = (
+            (csb[:, 0] << 24) | (csb[:, 1] << 16) | (csb[:, 2] << 8) | csb[:, 3]
+        ).astype(np.int64) - (1 << 31)
+        cs[:m, 1] = (
+            (csb[:, 4] << 24) | (csb[:, 5] << 16) | (csb[:, 6] << 8) | csb[:, 7]
+        ).astype(np.int64) - (1 << 31)
+
+        batch = UpdateBatch(
+            slot=jnp.asarray(pad(slots, -1, np.int32)),
+            rank=jnp.asarray(pad(rank, 0, np.int32)),
+            icao=jnp.asarray(pad(addrs, 0, np.int32)),
+            ts=jnp.asarray(pad(cols["ts"], 0, np.int32)),
+            src=jnp.asarray(pad(cols["source"], 0, np.int32)),
+            fmask=jnp.asarray(fmask), fval=jnp.asarray(fval),
+            cs_valid=jnp.asarray(pad(cols["callsign_valid"], False, bool)),
+            cs=jnp.asarray(cs),
+            alt_valid=jnp.asarray(pad(cols["alt_valid"], False, bool)),
+            alt=jnp.asarray(pad(cols["alt"], 0, np.int32)),
+            alt_q=jnp.asarray(pad(cols["alt_q"], False, bool)),
+            crc0=jnp.asarray(pad(cols["crc_zero"], False, bool)),
+            sq_valid=jnp.asarray(pad(cols["squawk_valid"], False, bool)),
+            sq=jnp.asarray(pad(np.where(cols["squawk_valid"], cols["squawk"], -2), -2, np.int32)),
+            cpr_valid=jnp.asarray(pad(cols["cpr_valid"], False, bool)),
+            cpr_odd=jnp.asarray(pad(cols["cpr_odd"], False, bool)),
+            cpr_surf=jnp.asarray(pad(cols["cpr_surface"], False, bool)),
+            cpr_lat=jnp.asarray(pad(cols["cpr_lat"], 0, np.int32)),
+            cpr_lon=jnp.asarray(pad(cols["cpr_lon"], 0, np.int32)),
+        )
+        self.state, cpr_ys = arena_update(self.state, batch, rounds)
+        cmask = np.asarray(cols["cpr_valid"], bool)
+        if cmask.any():
+            idx = np.nonzero(cmask)[0]
+            self._collect_cpr(
+                rank[idx], slots[idx], addrs[idx],
+                np.asarray(cols["ts"])[idx],
+                np.asarray(cols["cpr_odd"], bool)[idx],
+                np.asarray(cpr_ys),
+            )
+
+    def _collect_cpr(self, rr, ss, addrs, tss, ffs, ys: np.ndarray) -> None:
+        """Convert the scan's per-round device decode records into f64
+        positions for the per-message CPR rows (arrays rr=rank, ss=slot,
+        addrs, tss=ms, ffs=odd flag), using the reference's exact float
+        map (ops.cpr_device.airborne_latlon_f64).  Appends
+        (addr, ts_ms, fflag, lat, lon) to self.cpr_decodes."""
+        from ..ops.cpr_device import airborne_latlon_f64
+
+        if len(rr) == 0:
+            return
+        rec = ys[rr, ss]  # (m, 9): ok, j, nl, ni, m, elat, elon, olat, olon
+        ok = rec[:, 0] != 0
+        if not ok.any():
+            return
+        dev = {"j": rec[:, 1], "nl": rec[:, 2], "ni": rec[:, 3], "m": rec[:, 4]}
+        lat, lon = airborne_latlon_f64(
+            dev, rec[:, 5], rec[:, 6], rec[:, 7], rec[:, 8], ffs
+        )
+        for i in np.nonzero(ok)[0]:
+            self.cpr_decodes.append(
+                (int(addrs[i]), int(tss[i]), bool(ffs[i]),
+                 float(lat[i]), float(lon[i]))
+            )
 
     def sweep(self, now_ms: int, ttl_ms: int = 5 * TRACK_EXPIRE) -> int:
         self.state, dead = arena_sweep(
@@ -471,7 +682,7 @@ class Arena:
                 b1 = int(st.callsign[s, 1]) + (1 << 31)
                 row["callsign"] = (
                     b0.to_bytes(4, "big") + b1.to_bytes(4, "big")
-                ).decode().rstrip()
+                ).decode().rstrip("\x00").rstrip()
             if st.alt_src[s] >= 0 and now_ms < st.alt_ts[s] + TRACK_EXPIRE:
                 row["baro_alt"] = (int(st.alt[s]), int(st.alt_src[s]))
                 row["alt_reliable"] = int(st.alt_rel[s])

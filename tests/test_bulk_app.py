@@ -147,3 +147,59 @@ def test_bulk_app_wire_bytes_path():
             "nic", "rc", "messages", "rssi", "flight",
         ):
             assert d_s.get(key) == d_b.get(key), (hex(addr), key)
+
+
+def test_device_arena_app_equivalence():
+    """--device-arena: the device SoA arena runs in the live drain and the
+    serving output is identical to the host-only columnar path; the
+    device CPR decoded real positions along the way (VERDICT r5 #5)."""
+    frames = _stream(12000)
+    app_h, _ = _run(frames, bulk=True)
+
+    app_a = App(parse_args([
+        "--net-only", "--quiet", "--lat", "49.5", "--lon", "3.5",
+        "--net-bulk-drain", "--device-arena",
+    ]))
+    assert app_a.arena is not None
+    scorer = app_a._net_scorer()
+    for bf in frames:
+        app_a._handle_net_frame(scorer, bf)
+    app_a.drain_net_queue()
+    from readsb_tpu.app.bulk_drain import materialize, materialize_arena
+
+    materialize(app_a, app_a.now_ms())
+    materialize_arena(app_a, app_a.now_ms())
+
+    # the arena actually ran on this stream
+    import numpy as np
+
+    st = app_a.arena.state
+    assert int(np.asarray(st.messages).sum()) > 10000
+    assert len(app_a.arena.cpr_decodes) > 1000  # device CPR produced fixes
+
+    # device-arena serving output == host-only serving output
+    assert set(app_h.tracker.aircraft) == set(app_a.tracker.aircraft)
+    now = 1_000_000 + len(frames) // 4
+    for addr, a_h in app_h.tracker.aircraft.items():
+        a_a = app_a.tracker.aircraft[addr]
+        d_h = aircraft_dict(app_h.tracker, a_h, now)
+        d_a = aircraft_dict(app_a.tracker, a_a, now)
+        for key in (
+            "hex", "flight", "alt_baro", "gs", "track", "baro_rate",
+            "squawk", "lat", "lon", "seen", "messages",
+        ):
+            assert d_h.get(key) == d_a.get(key), (hex(addr), key)
+
+    # the device CPR fixes agree with the served (host-chain) positions
+    last_fix = {}
+    for addr, ts, ff, lat, lon in app_a.arena.cpr_decodes:
+        last_fix[addr] = (lat, lon)
+    n_match = 0
+    for addr, (lat, lon) in last_fix.items():
+        a = app_a.tracker.aircraft.get(addr)
+        if a is not None and a.lat is not None and a.seen_pos:
+            # the tracker's last position is its last *accepted* decode;
+            # compare where the device fix is the most recent accepted one
+            if a.lat == lat and a.lon == lon:
+                n_match += 1
+    assert n_match > len(last_fix) * 0.8, (n_match, len(last_fix))
