@@ -310,9 +310,8 @@ def make_extract_kernel(stage):
         ) // 55
         bits = (jax.lax.shift_right_logical(u, lane_bit) & 1).astype(jnp.bfloat16)
         if stage == "unpack":
-            out_ref[:] = jnp.sum(
-                bits.reshape(pk.EX_ROWS, 55, 32), axis=1
-            ).astype(jnp.int32).repeat(4, axis=1)
+            s1 = jnp.sum(bits, axis=1, keepdims=True).astype(jnp.int32)
+            out_ref[:] = jnp.broadcast_to(s1, (pk.EX_ROWS, 128))
             return
         counts = jax.lax.dot(
             bits, m1_ref[:], preferred_element_type=jnp.float32
@@ -631,10 +630,155 @@ def phase_e2e():
     }, flush=True)
 
 
+
+# ---------------------------------------------------------------------------
+# phase ablate2: finer chain splits + write-cost probes + gate sub-stages
+# ---------------------------------------------------------------------------
+
+def dense_lite_call(buf2d, halo_rows, outs):
+    """Minimal-work dense pass writing only the named outputs — probes the
+    WRITE cost of each output plane (outs: subset of corr/pw/cs)."""
+    rows_total = buf2d.shape[0]
+    ntiles = rows_total // ROWS
+    shapes = []
+    specs = []
+    if "corr" in outs:
+        shapes.append(jax.ShapeDtypeStruct((rows_total, LANES), jnp.int8))
+        specs.append(pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM))
+    if "pw" in outs:
+        shapes.append(jax.ShapeDtypeStruct((5, rows_total, 4), jnp.int32))
+        specs.append(pl.BlockSpec((5, ROWS, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM))
+    if "pwT" in outs:
+        shapes.append(jax.ShapeDtypeStruct((20, rows_total), jnp.int32))
+        specs.append(pl.BlockSpec((20, ROWS), lambda i: (0, i), memory_space=pltpu.VMEM))
+    if "cs" in outs:
+        for _ in range(2):
+            shapes.append(jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32))
+            specs.append(pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM))
+
+    def kern(thr_ref, m_ref, halo_ref, *out_refs):
+        t_id = pl.program_id(0)
+        halo_row = halo_ref[pl.ds(pl.multiple_of(t_id * 8, 8), 8), :][:1]
+        m_ext = jnp.concatenate(
+            [m_ref[:].astype(jnp.int32), halo_row.astype(jnp.int32)], axis=0
+        )
+        a = m_ext[:ROWS]
+        k = 0
+        if "corr" in outs:
+            out_refs[k][:] = (a & 7).astype(jnp.int8); k += 1
+        if "pw" in outs:
+            out_refs[k][:] = jnp.broadcast_to(a[:1, :4].reshape(1, 1, 4), (5, ROWS, 4)); k += 1
+        if "pwT" in outs:
+            out_refs[k][:] = jnp.broadcast_to(a[:1, :20].reshape(1, 20).T, (20, ROWS)); k += 1
+        if "cs" in outs:
+            out_refs[k][:] = a; k += 1
+            out_refs[k][:] = a + 1; k += 1
+
+    return pl.pallas_call(
+        kern,
+        out_shape=tuple(shapes),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(specs),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=CPU_SMOKE,
+    )(thr.reshape(1), buf2d, halo_rows)
+
+
+def lite_chain(outs):
+    @jax.jit
+    def run(c):
+        m2d, halo = _dense_inputs(c)
+        res = dense_lite_call(m2d, halo, outs)
+        if not isinstance(res, tuple):
+            res = (res,)
+        acc = jnp.int32(0)
+        for r in res:
+            acc = acc + r.reshape(-1)[12345].astype(jnp.int32)
+        return acc
+
+    return run
+
+
+def phase_ablate2():
+    @jax.jit
+    def chain_null(c):
+        return c + 1
+
+    n = timeit("null chain", chain_null, reps=50, sub_rtt=False)
+    RTT_S[0] = max(0.0, n)
+
+    mark("--- dense output write-cost probes ---")
+    timeit("lite corr only", lite_chain(("corr",)))
+    timeit("lite corr+pw", lite_chain(("corr", "pw")))
+    timeit("lite corr+pwT (transposed)", lite_chain(("corr", "pwT")))
+    timeit("lite corr+cs", lite_chain(("corr", "cs")))
+    timeit("lite corr+pw+cs (all)", lite_chain(("corr", "pw", "cs")))
+
+    mark("--- compact / win / gather splits ---")
+
+    @jax.jit
+    def chain_dense_only(c):
+        corrbits, pwords, cs_hi, cs_lo = common(c)
+        return corrbits[999].astype(jnp.int32) + pwords[0, 777] + cs_hi[123]
+
+    @jax.jit
+    def chain_plus_compact(c):
+        corrbits, pwords, cs_hi, cs_lo = common(c)
+        cand = (corrbits[:SCAN] & 8) != 0
+        offsets, max_local = _compact_two_level(cand, K, L, SCAN)
+        return offsets[77] + max_local + cs_hi[123] + pwords[0, 777]
+
+    @jax.jit
+    def chain_plus_win(c):
+        corrbits, pwords, cs_hi, cs_lo = common(c)
+        cand = (corrbits[:SCAN] & 8) != 0
+        offsets, max_local = _compact_two_level(cand, K, L, SCAN)
+        win, nv = demod_ops.win_rows(corrbits, pwords, SCAN)
+        return offsets[77] + win[999, 3] + cs_hi[123]
+
+    timeit("dense only (production)", chain_dense_only)
+    timeit("+ compaction", chain_plus_compact)
+    timeit("+ win rows (no gather)", chain_plus_win)
+
+    @jax.jit
+    def chain_prefix_only(c):
+        rows, offsets, cs_hi, cs_lo = kernel_prefix(c)
+        return rows[77, 3] + offsets[11] + cs_hi[123]
+
+    timeit("+ row gather (= prefix)", chain_prefix_only)
+
+    mark("--- extract variants ---")
+    timeit("extract rot-only", extract_chain("rot"))
+    timeit("extract +unpack", extract_chain("unpack"))
+    timeit("extract +mat1", extract_chain("mat1"))
+    timeit("extract full (variant)", extract_chain("full"))
+
+    @jax.jit
+    def chain_prod_extract(c):
+        rows, offsets, cs_hi, cs_lo = kernel_prefix(c)
+        comb = pk.extract_syndromes_pallas(rows, offsets, interpret=CPU_SMOKE)
+        return comb[33, 0] + comb[55, 9] + offsets[11]
+
+    timeit("extract production", chain_prod_extract)
+
+    mark("--- gate sub-stages ---")
+    timeit("gate none (bc only)", gate_chain("none"))
+    timeit("gate member", gate_chain("member"))
+    timeit("gate +teach", gate_chain("teach"))
+    timeit("gate +keepcompact", gate_chain("keepcompact"))
+    timeit("gate +sums", gate_chain("sums"))
+    timeit("gate FULL (score_gate)", gate_full_chain())
+
+
 if __name__ == "__main__":
     for ph in PHASES:
         try:
-            {"ablate": phase_ablate, "shard": phase_shard, "e2e": phase_e2e}[ph]()
+            {"ablate": phase_ablate, "ablate2": phase_ablate2, "shard": phase_shard, "e2e": phase_e2e}[ph]()
         except Exception as e:
             import traceback
 
