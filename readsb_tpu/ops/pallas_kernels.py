@@ -147,6 +147,32 @@ def _pack_weights_np() -> tuple[np.ndarray, np.ndarray]:
     return w_lo, w_hi
 
 
+PW_COLS = 20  # 5 slicer planes x 4 words per 128-sample row
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_weights640_np() -> tuple[np.ndarray, np.ndarray]:
+    """(W_lo, W_hi): f32[640, 20] block-diagonal packing weights.
+
+    The 5 sign planes lane-concatenate to (rows, 640) — vreg-aligned, so
+    the concat is free — and ONE matmul packs all 20 words along lanes:
+    output col p*4+w <- plane p, word w.  Writing (rows, 20) instead of
+    (5, rows, 4) avoids the minor-dim-4 tile padding that cost ~1.1 ms
+    per superblock (r5 session-B write probe).  Entries are powers of two
+    <= 2^15: exact under the MXU's bf16 input truncation.
+    """
+    w_lo = np.zeros((5 * LANES, PW_COLS), np.float32)
+    w_hi = np.zeros((5 * LANES, PW_COLS), np.float32)
+    for p in range(5):
+        for c in range(LANES):
+            w, j = divmod(c, 32)
+            if j < 16:
+                w_lo[p * LANES + c, p * 4 + w] = float(1 << j)
+            else:
+                w_hi[p * LANES + c, p * 4 + w] = float(1 << (j - 16))
+    return w_lo, w_hi
+
+
 def _lane_prefix_i32(x: jax.Array) -> jax.Array:
     """Inclusive prefix sum along lanes (wraparound int32, exact)."""
     rows = x.shape[0]
@@ -242,8 +268,11 @@ def _dense_body(thr, m_ext, wlo_ref, whi_ref,
     ).astype(jnp.int8)
 
     # --- slicer sign planes, bit-packed 32 samples/word ----------------------
+    # lane-concat (vreg-aligned, free) + ONE block-diagonal pack matmul;
+    # output (rows, 20) keeps the write on full vregs (session-B probe:
+    # the old (5, rows, 4) layout cost ~1.1 ms/superblock in tile padding)
     s0, s1, s2, s3 = at[0], at[1], at[2], at[3]
-    planes = jnp.concatenate(
+    planes_h = jnp.concatenate(
         [
             (18 * s0 - 15 * s1 - 3 * s2) > 0,
             (14 * s0 - 5 * s1 - 9 * s2) > 0,
@@ -251,12 +280,11 @@ def _dense_body(thr, m_ext, wlo_ref, whi_ref,
             (7 * s0 + 11 * s1 - 18 * s2) > 0,
             (4 * s0 + 15 * s1 - 20 * s2 + s3) > 0,
         ],
-        axis=0,
-    ).astype(jnp.float32)  # (5*rows, 128)
-    lo = jax.lax.dot(planes, wlo_ref[:], preferred_element_type=jnp.float32)
-    hi = jax.lax.dot(planes, whi_ref[:], preferred_element_type=jnp.float32)
-    words4 = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)  # (5*rows, 4)
-    pw_ref[:] = words4.reshape(5, rows, 4)
+        axis=1,
+    ).astype(jnp.float32)  # (rows, 640)
+    lo = jax.lax.dot(planes_h, wlo_ref[:], preferred_element_type=jnp.float32)
+    hi = jax.lax.dot(planes_h, whi_ref[:], preferred_element_type=jnp.float32)
+    pw_ref[:] = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)  # (rows, 20)
 
     # --- split hi/lo prefix sums of mag^2 (wraparound-exact int32) ----------
     mm = at[0]
@@ -315,7 +343,7 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
         _dense_scan_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
-            jax.ShapeDtypeStruct((5, rows, 4), jnp.int32),
+            jax.ShapeDtypeStruct((rows, PW_COLS), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
@@ -324,14 +352,12 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full halo array, tiny
-            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * LANES, PW_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * LANES, PW_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (5, DENSE_ROWS, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((DENSE_ROWS, PW_COLS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
@@ -342,10 +368,11 @@ def dense_scan_pallas(buf: jax.Array, threshold: jax.Array, *, interpret: bool =
         jnp.asarray(threshold, jnp.int32).reshape(1),
         m2d,
         halo_rows,
-        jnp.asarray(_pack_weights_np()[0]),
-        jnp.asarray(_pack_weights_np()[1]),
+        jnp.asarray(_pack_weights640_np()[0]),
+        jnp.asarray(_pack_weights640_np()[1]),
     )
-    pwords = pw.reshape(5, rows * 4)  # word w covers samples 32w..32w+31
+    # (rows, 20) device layout -> the (5, n//32) consumer contract
+    pwords = pw.reshape(rows, 5, 4).transpose(1, 0, 2).reshape(5, rows * 4)
     return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
 
 
@@ -377,7 +404,7 @@ def dense_scan_uc8_pallas(
         _dense_scan_uc8_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int8),
-            jax.ShapeDtypeStruct((5, rows, 4), jnp.int32),
+            jax.ShapeDtypeStruct((rows, PW_COLS), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
@@ -387,14 +414,12 @@ def dense_scan_uc8_pallas(
             pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full halo array, tiny
-            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * LANES, PW_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5 * LANES, PW_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (5, DENSE_ROWS, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((DENSE_ROWS, PW_COLS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((DENSE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
@@ -406,10 +431,10 @@ def dense_scan_uc8_pallas(
         jnp.asarray(_sq_table_np()).reshape(1, LANES),
         w2d,
         halo_rows,
-        jnp.asarray(_pack_weights_np()[0]),
-        jnp.asarray(_pack_weights_np()[1]),
+        jnp.asarray(_pack_weights640_np()[0]),
+        jnp.asarray(_pack_weights640_np()[1]),
     )
-    pwords = pw.reshape(5, rows * 4)
+    pwords = pw.reshape(rows, 5, 4).transpose(1, 0, 2).reshape(5, rows * 4)
     return corr.reshape(-1), pwords, cs_hi.reshape(-1), cs_lo.reshape(-1)
 
 
