@@ -310,17 +310,22 @@ def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
     )
     blk_of_rank = jax.lax.cummax(starts[:k])  # (k,)
 
-    # per-block compacted local offsets, capacity l.  The one-hot has at
-    # most one 1 per (block, rank) column, so every output is a single
-    # product i * 1 with i < 256 — exact in bf16.
+    # per-block compacted local offsets, capacity l: the one-hot select
+    # expressed as a masked reduction so XLA fuses the (nb, blk, l)
+    # construction into the reduce — as an einsum/dot operand it was
+    # materialized through HBM (~1 GB at l=64: most of the compaction's
+    # ~3 ms in the r5 session-B attribution)
     j_iota = jnp.arange(l, dtype=jnp.int32)
-    onehot = (
-        (local_excl[:, :, None] == j_iota[None, None, :]) & c2[:, :, None]
-    ).astype(jnp.bfloat16)  # (nb, blk, l)
-    i_iota = jnp.arange(blk, dtype=jnp.bfloat16)
-    local_off = jnp.einsum(
-        "bil,i->bl", onehot, i_iota, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
+    i_iota = jnp.arange(blk, dtype=jnp.int32)
+    local_off = jnp.sum(
+        jnp.where(
+            (local_excl[:, :, None] == j_iota[None, None, :])
+            & c2[:, :, None],
+            i_iota[None, :, None],
+            0,
+        ),
+        axis=1,
+    )  # (nb, l) int32, exact
 
     rank = jnp.arange(k, dtype=jnp.int32)
     local_rank = rank - block_excl[blk_of_rank]
@@ -451,13 +456,30 @@ def window_sums(offsets, cs_hi, cs_lo):
 
     Returns (sig_long, sig_short) int32[K, 2] from the dense stage's
     wraparound-exact prefix sums (demod_2400.c:436-457 accounting).
+
+    Lookups go through 128-lane ROW gathers + an in-lane dynamic select:
+    TPU element gathers are latency-bound (~0.27 us each — the naive
+    cs[idx] form measured 3.4 ms/superblock in the r5 session-B gate
+    ablation), while row gathers DMA whole vregs.
     """
+    n = cs_hi.shape[0]
+    rows = n // 128
+    h2 = cs_hi[: rows * 128].reshape(rows, 128)
+    l2 = cs_lo[: rows * 128].reshape(rows, 128)
+
+    def at(idx):
+        idx = jnp.minimum(idx, rows * 128 - 1)
+        r = idx >> 7
+        c = (idx & 127)[:, None]
+        h = jnp.take_along_axis(h2[r], c, axis=1)[:, 0]
+        lo = jnp.take_along_axis(l2[r], c, axis=1)[:, 0]
+        return h, lo
 
     def wsum(a, b):
         # sum over samples [offset+a, offset+b) per candidate (a >= 1)
-        ia = offsets + (a - 1)
-        ib = offsets + (b - 1)
-        return jnp.stack([cs_hi[ib] - cs_hi[ia], cs_lo[ib] - cs_lo[ia]], axis=-1)
+        ha, la = at(offsets + (a - 1))
+        hb, lb = at(offsets + (b - 1))
+        return jnp.stack([hb - ha, lb - la], axis=-1)
 
     return wsum(19, 19 + SIG_LONG), wsum(19, 19 + SIG_SHORT)
 

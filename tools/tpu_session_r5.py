@@ -775,10 +775,82 @@ def phase_ablate2():
     timeit("gate FULL (score_gate)", gate_full_chain())
 
 
+
+def phase_prod():
+    """Production-path timings after the r5 kernel/layout fixes (pw lane
+    matmul, fused compaction select, row-gather window sums)."""
+    @jax.jit
+    def chain_null(c):
+        return c + 1
+
+    n = timeit("null chain", chain_null, reps=50, sub_rtt=False)
+    RTT_S[0] = max(0.0, n)
+
+    @jax.jit
+    def chain_dense_only(c):
+        corrbits, pwords, cs_hi, cs_lo = common(c)
+        return corrbits[999].astype(jnp.int32) + pwords[0, 777] + cs_hi[123]
+
+    @jax.jit
+    def chain_plus_compact(c):
+        corrbits, pwords, cs_hi, cs_lo = common(c)
+        cand = (corrbits[:SCAN] & 8) != 0
+        offsets, max_local = _compact_two_level(cand, K, L, SCAN)
+        return offsets[77] + max_local + cs_hi[123] + pwords[0, 777]
+
+    @jax.jit
+    def chain_prefix_only(c):
+        rows, offsets, cs_hi, cs_lo = kernel_prefix(c)
+        return rows[77, 3] + offsets[11] + cs_hi[123]
+
+    @jax.jit
+    def chain_prod_extract(c):
+        rows, offsets, cs_hi, cs_lo = kernel_prefix(c)
+        comb = pk.extract_syndromes_pallas(rows, offsets, interpret=CPU_SMOKE)
+        return comb[33, 0] + comb[55, 9] + offsets[11]
+
+    timeit("dense (new pw layout)", chain_dense_only)
+    timeit("+ compaction (fused select)", chain_plus_compact)
+    timeit("+ win + gather", chain_prefix_only)
+    timeit("+ extract", chain_prod_extract)
+    timeit("gate FULL (row-gather sums)", gate_full_chain())
+
+    # the full multichannel production program (the driver bench shape)
+    mark("--- multichannel production program (bench shape) ---")
+    N_CHAN = 64
+    words = jnp.asarray(
+        np.frombuffer(raw.tobytes()[: N_CHAN * BLOCK_SAMPLES * 2 * 2][: N_CHAN * BLOCK_SAMPLES * 2], dtype="<u2")
+        .reshape(N_CHAN, BLOCK_SAMPLES)
+    ) if SCAN >= N_CHAN * BLOCK_SAMPLES else None
+    if words is None:
+        mark("workload too small for C=64; skipped")
+        return
+    from readsb_tpu.pipeline import MultiDemodulator
+
+    multi = MultiDemodulator(N_CHAN, blocks_per_batch=1)
+    vl = jnp.int32(multi.seg_valid)
+    tbl = jnp.full(128, TBL_SENTINEL, jnp.int32)
+    margs = dict(
+        k=multi.k, scan_len=multi.scan_len, l=multi.compact_l, k2=multi.gate_k2,
+        nfix=multi.nfix, fix_df=multi.fix_df, reset_every=multi.block_samples,
+        seg_stride=multi.seg_stride, seg_valid=multi.seg_valid,
+        keep_l=multi.gate_keep_l,
+    )
+
+    @functools.partial(jax.jit, static_argnames=tuple(margs))
+    def chain_multi(c, **kw):
+        ovs = jnp.zeros((N_CHAN, TRAILING_SAMPLES), jnp.uint16) + c.astype(jnp.uint16)
+        gc = pl_mod._demod_and_gate_multi_raw(words, ovs, vl, jnp.int32(58), tbl, **kw)
+        return gc.n_cand + gc.n_keep + gc.offsets[5]
+
+    run_multi = lambda c: chain_multi(c, **margs)  # noqa: E731
+    timeit("MULTI production (C=64 raw)", run_multi)
+
+
 if __name__ == "__main__":
     for ph in PHASES:
         try:
-            {"ablate": phase_ablate, "ablate2": phase_ablate2, "shard": phase_shard, "e2e": phase_e2e}[ph]()
+            {"ablate": phase_ablate, "ablate2": phase_ablate2, "prod": phase_prod, "shard": phase_shard, "e2e": phase_e2e}[ph]()
         except Exception as e:
             import traceback
 
