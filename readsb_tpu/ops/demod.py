@@ -161,17 +161,8 @@ def _combined_matrix() -> np.ndarray:
 # Stage 4 then needs exactly ONE dynamic gather (whole rows, the layout
 # TPUs stream well) instead of per-candidate scalar word gathers, which
 # are latency-bound on TPU (~0.27 us/candidate, the round-2 hot spot).
-# Win-row layout v2 (r5): rows at 32-sample WORD granularity — the row
-# for word w0 = offset >> 5 already starts at the window's first word, so
-# the extract kernels' 8-way word-rotate select (2.3 ms/superblock in the
-# r5 session-B attribution) disappears; only the sub-word bit shift
-# remains.  Lane layout: [p*12 + j] = slicer plane p word (w0 + j),
-# j = 0..11 (60 lanes); 60..62 = the three correlation bitplanes' word
-# w0; rest zero.  The table is 8x taller than the 256-sample v1 rows
-# (scan/32 rows x 512 B = ~134 MB per 8.4M-sample superblock — a
-# bandwidth-bound build), and the candidate gather stays one row DMA.
-WIN_PLANE_WORDS = 12
-WIN_CORR_BASE = 60
+WIN_PLANE_WORDS = 19
+WIN_CORR_BASE = 95
 
 
 @functools.lru_cache(maxsize=None)
@@ -429,29 +420,33 @@ def _pack_plane_words(planes: jax.Array) -> jax.Array:
 
 
 def win_rows(corrbits: jax.Array, pwords: jax.Array, scan_len: int):
-    """Build the (nv, 128) candidate win rows (layout v2, see the note at
-    WIN_PLANE_WORDS): one row per 32-sample word, pre-rotated so the
-    extract kernels only bit-shift.  Pure shifted views — no gather."""
-    nv = (scan_len + 31) // 32
-    need = nv + WIN_PLANE_WORDS
+    """Build the (nv, 128) candidate win rows (see stage-4 layout note).
+
+    Per 256-sample block v: lanes 0..94 = five slicer planes x 19 packed
+    words, 95..118 = three correlation bitplanes x 8 words, rest zero.
+    Pure reshapes/concats — no gather.
+    """
+    nv = (scan_len + 255) // 256
+    need = 8 * nv + WIN_PLANE_WORDS
     nw = pwords.shape[1]
     pw = jnp.pad(pwords, ((0, 0), (0, need - nw))) if nw < need else pwords
-    wp = jnp.stack(
-        [pw[:, j : j + nv] for j in range(WIN_PLANE_WORDS)], axis=-1
-    )  # (5, nv, 12)
+    a = pw[:, : 8 * nv].reshape(5, nv, 8)
+    b = pw[:, 8 : 8 * nv + 8].reshape(5, nv, 8)
+    c3 = pw[:, 16 : 8 * nv + 16].reshape(5, nv, 8)[..., :3]
+    wp = jnp.concatenate([a, b, c3], axis=-1)  # (5, nv, 19)
     wp = jnp.transpose(wp, (1, 0, 2)).reshape(nv, 5 * WIN_PLANE_WORDS)
 
-    clen = 32 * nv
+    clen = 256 * nv
     cpad = corrbits
     if cpad.shape[0] < clen:
         cpad = jnp.pad(cpad, (0, clen - cpad.shape[0]))
     cpad = cpad[:clen].astype(jnp.int32)
     cpl = jnp.stack([((cpad >> i) & 1) != 0 for i in range(3)])  # (3, clen)
-    cw = _pack_plane_words(cpl)  # (3, nv)
-    cwT = jnp.transpose(cw, (1, 0))  # (nv, 3)
+    cw = _pack_plane_words(cpl).reshape(3, nv, 8)
+    cw3 = jnp.transpose(cw, (1, 0, 2)).reshape(nv, 24)
 
     win = jnp.concatenate(
-        [wp, cwT, jnp.zeros((nv, 128 - WIN_CORR_BASE - 3), jnp.int32)], axis=1
+        [wp, cw3, jnp.zeros((nv, 128 - WIN_CORR_BASE - 24), jnp.int32)], axis=1
     )  # (nv, 128)
     return win, nv
 
@@ -578,7 +573,7 @@ def _demod_core(
     win = jax.lax.optimization_barrier(win)
 
     # --- stage 4b: ONE row gather + static extraction ------------------------
-    v_idx = jnp.clip(offsets >> 5, 0, nv - 1)
+    v_idx = jnp.clip(offsets >> 8, 0, nv - 1)
     rows = win[v_idx]  # (K, 128) — whole-row gather, the TPU-friendly shape
     rows = jax.lax.optimization_barrier(rows)
 
@@ -618,15 +613,20 @@ def _demod_core(
         )
         return bc, cs_hi, cs_lo
 
-    sb = offsets & 31  # residual bit shift (rows are word-aligned, v2)
+    s = offsets & 255
+    wrot = s >> 5  # 0..7: word rotation within the 19-word windows
+    sb = s & 31  # residual bit shift
 
     # align each candidate's window: sw[k, p, j] = plane bits
     # [off + 32j, off + 32j + 32) of plane p, j = 0..10
-    sw_pre = jnp.stack(
-        [rows[:, p * WIN_PLANE_WORDS : p * WIN_PLANE_WORDS + 12]
-         for p in range(5)],
-        axis=1,
-    )  # (k, 5, 12) static slices only
+    sw_pre = jnp.zeros((k, 5, 12), jnp.int32)
+    for r in range(8):
+        sl = jnp.stack(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )  # static slices only
+        sw_pre = jnp.where((wrot == r)[:, None, None], sl, sw_pre)
     sbb = sb[:, None, None]
     shl_amt = (32 - sbb) & 31
     hi_part = jnp.where(sbb == 0, 0, jnp.left_shift(sw_pre[:, :, 1:12], shl_amt))
@@ -658,10 +658,12 @@ def _demod_core(
     syn112 = jnp.sum(parity112 * w24, axis=-1)
     syn56 = jnp.sum(parity56 * w24, axis=-1)
 
-    # correlation lanes from the win row's corr bitplanes (word-aligned)
+    # correlation lanes from the win row's corr bitplanes
     cc = []
     for c in range(3):
-        wsel = rows[:, WIN_CORR_BASE + c]
+        wsel = jnp.zeros((k,), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(wrot == r, rows[:, WIN_CORR_BASE + c * 8 + r], wsel)
         cc.append((jax.lax.shift_right_logical(wsel, sb) & 1) != 0)
     corr_fired = jnp.stack(cc, axis=-1) & (offsets < scan_len)[:, None]
 

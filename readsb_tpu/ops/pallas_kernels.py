@@ -492,10 +492,33 @@ def _extract_mats():
 
 
 def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, out_ref):
+    from .demod import WIN_CORR_BASE, WIN_PLANE_WORDS
+
     rows = rows_ref[:]
     off = off_ref[:]  # (EX_ROWS, 1) int32
-    # win-row layout v2: word-aligned windows, bit shift only
-    sw, _, sb = _align_windows(rows, off, EX_ROWS)
+    s = off & 255
+    wrot = s >> 5
+    sb = s & 31
+
+    # rotate each plane's 19-word window by wrot words -> 12 aligned words
+    sw_pre = jnp.zeros((EX_ROWS, 60), jnp.int32)
+    for r in range(8):
+        sl = jnp.concatenate(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )
+        sw_pre = jnp.where(wrot == r, sl, sw_pre)
+    lo = jnp.concatenate(
+        [sw_pre[:, p * 12 : p * 12 + 11] for p in range(5)], axis=1
+    )  # (EX_ROWS, 55)
+    hi = jnp.concatenate(
+        [sw_pre[:, p * 12 + 1 : p * 12 + 12] for p in range(5)], axis=1
+    )
+    shl = (32 - sb) & 31
+    sw = jax.lax.shift_right_logical(lo, sb) | jnp.where(
+        sb == 0, 0, jnp.left_shift(hi, shl)
+    )
 
     # unpack all 1760 window bits at once: tile the 55 words 32x along
     # lanes (pltpu.repeat is tile-semantics) and shift lane l by l // 55 —
@@ -516,7 +539,15 @@ def _extract_kernel(off_ref, rows_ref, m1_ref, m2_ref, out_ref):
         [counts[:, p * 62 + 48 : p * 62 + 62] for p in range(5)], axis=1
     )  # (EX_ROWS, 70)
 
-    corr = _corr_lanes(rows, None, sb, EX_ROWS)  # (EX_ROWS, 3)
+    corr_parts = []
+    for c in range(3):
+        wsel = jnp.zeros((EX_ROWS, 1), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(
+                wrot == r, rows[:, WIN_CORR_BASE + c * 8 + r : WIN_CORR_BASE + c * 8 + r + 1], wsel
+            )
+        corr_parts.append(jax.lax.shift_right_logical(wsel, sb) & 1)
+    corr = jnp.concatenate(corr_parts, axis=1)  # (EX_ROWS, 3)
 
     out_ref[:] = jnp.concatenate(
         [syn[:, :10], msg, corr, jnp.zeros((EX_ROWS, 128 - 83), jnp.int32)],
@@ -613,23 +644,31 @@ def _extract_v2_mats():
 
 
 def _align_windows(rows, off, ex_rows):
-    """Bit-align each candidate's word-aligned 5x12-word window -> (EX, 55).
+    """Rotate + bit-align each candidate's 5x19-word window -> (EX, 55)."""
+    from .demod import WIN_PLANE_WORDS
 
-    Win-row layout v2 (demod.WIN_PLANE_WORDS note): rows are gathered at
-    32-sample word granularity, already starting at the window's first
-    word — no rotate select, only the sub-word shift."""
-    sb = off & 31
+    s = off & 255
+    wrot = s >> 5
+    sb = s & 31
+    sw_pre = jnp.zeros((ex_rows, 60), jnp.int32)
+    for r in range(8):
+        sl = jnp.concatenate(
+            [rows[:, p * WIN_PLANE_WORDS + r : p * WIN_PLANE_WORDS + r + 12]
+             for p in range(5)],
+            axis=1,
+        )
+        sw_pre = jnp.where(wrot == r, sl, sw_pre)
     lo = jnp.concatenate(
-        [rows[:, p * 12 : p * 12 + 11] for p in range(5)], axis=1
+        [sw_pre[:, p * 12 : p * 12 + 11] for p in range(5)], axis=1
     )  # (EX, 55)
     hi = jnp.concatenate(
-        [rows[:, p * 12 + 1 : p * 12 + 12] for p in range(5)], axis=1
+        [sw_pre[:, p * 12 + 1 : p * 12 + 12] for p in range(5)], axis=1
     )
     shl = (32 - sb) & 31
     sw = jax.lax.shift_right_logical(lo, sb) | jnp.where(
         sb == 0, 0, jnp.left_shift(hi, shl)
     )
-    return sw, None, sb
+    return sw, wrot, sb
 
 
 def _corr_lanes(rows, wrot, sb, ex_rows):
@@ -637,7 +676,13 @@ def _corr_lanes(rows, wrot, sb, ex_rows):
 
     parts = []
     for c in range(3):
-        wsel = rows[:, WIN_CORR_BASE + c : WIN_CORR_BASE + c + 1]
+        wsel = jnp.zeros((ex_rows, 1), jnp.int32)
+        for r in range(8):
+            wsel = jnp.where(
+                wrot == r,
+                rows[:, WIN_CORR_BASE + c * 8 + r : WIN_CORR_BASE + c * 8 + r + 1],
+                wsel,
+            )
         parts.append(jax.lax.shift_right_logical(wsel, sb) & 1)
     return jnp.concatenate(parts, axis=1)  # (EX, 3)
 

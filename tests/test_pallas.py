@@ -97,7 +97,7 @@ def test_extract_syndromes_kernel_bit_equality():
 
     corrbits, pwords, _, _ = demod_ops._dense_stages_jnp(buf, 58)
     win, nv = demod_ops.win_rows(corrbits, pwords, scan_len)
-    rows = win[jnp.clip(bc.offsets >> 5, 0, nv - 1)]
+    rows = win[jnp.clip(bc.offsets >> 8, 0, nv - 1)]
     comb = np.asarray(extract_syndromes_pallas(rows, bc.offsets, interpret=True))
 
     np.testing.assert_array_equal(comb[:n, 0:5], np.asarray(bc.syn112)[:n])
@@ -179,7 +179,7 @@ def test_extract_classify_v2_bit_equality():
 
     corrbits, pwords, _, _ = demod_ops._dense_stages_jnp(buf, 58)
     win, nv = demod_ops.win_rows(corrbits, pwords, scan_len)
-    rows = win[jnp.clip(bc.offsets >> 5, 0, nv - 1)]
+    rows = win[jnp.clip(bc.offsets >> 8, 0, nv - 1)]
 
     # known table with a few addresses that occur as residuals + padding
     tbl_np = np.full(256, TBL_SENTINEL, np.int32)
@@ -271,7 +271,7 @@ def test_score_gate_flags_path_equivalence():
 
     corrbits, pwords, _, _ = demod_ops._dense_stages_jnp(buf, 58)
     win, nv = demod_ops.win_rows(corrbits, pwords, scan_len)
-    rows = win[jnp.clip(bc.offsets >> 5, 0, nv - 1)]
+    rows = win[jnp.clip(bc.offsets >> 8, 0, nv - 1)]
     comb = extract_classify_pallas(rows, bc.offsets, tbl, interpret=True)
     bc_fl = bc._replace(flags=comb[:, 83:88])
 

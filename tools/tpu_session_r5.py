@@ -384,7 +384,7 @@ def kernel_prefix(c):
     cand = (corrbits[:SCAN] & 8) != 0
     offsets, max_local = _compact_two_level(cand, K, L, SCAN)
     win, nv = demod_ops.win_rows(corrbits, pwords, SCAN)
-    rows = win[jnp.clip(offsets >> 5, 0, nv - 1)]
+    rows = win[jnp.clip(offsets >> 8, 0, nv - 1)]
     return rows, offsets, cs_hi, cs_lo
 
 
