@@ -310,22 +310,19 @@ def _compact_two_level(cand: jax.Array, k: int, l: int, scan_len: int):
     )
     blk_of_rank = jax.lax.cummax(starts[:k])  # (k,)
 
-    # per-block compacted local offsets, capacity l: the one-hot select
-    # expressed as a masked reduction so XLA fuses the (nb, blk, l)
-    # construction into the reduce — as an einsum/dot operand it was
-    # materialized through HBM (~1 GB at l=64: most of the compaction's
-    # ~3 ms in the r5 session-B attribution)
+    # per-block compacted local offsets, capacity l.  The one-hot has at
+    # most one 1 per (block, rank) column, so every output is a single
+    # product i * 1 with i < 256 — exact in bf16.  (A masked where+sum
+    # formulation measured ~1.2 ms SLOWER on-device in r5 session D —
+    # the MXU contraction beats the fused VPU reduction here.)
     j_iota = jnp.arange(l, dtype=jnp.int32)
-    i_iota = jnp.arange(blk, dtype=jnp.int32)
-    local_off = jnp.sum(
-        jnp.where(
-            (local_excl[:, :, None] == j_iota[None, None, :])
-            & c2[:, :, None],
-            i_iota[None, :, None],
-            0,
-        ),
-        axis=1,
-    )  # (nb, l) int32, exact
+    onehot = (
+        (local_excl[:, :, None] == j_iota[None, None, :]) & c2[:, :, None]
+    ).astype(jnp.bfloat16)  # (nb, blk, l)
+    i_iota = jnp.arange(blk, dtype=jnp.bfloat16)
+    local_off = jnp.einsum(
+        "bil,i->bl", onehot, i_iota, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
 
     rank = jnp.arange(k, dtype=jnp.int32)
     local_rank = rank - block_excl[blk_of_rank]
