@@ -1099,19 +1099,38 @@ class App:
             if args.write_json and time.time() - last_json >= args.write_json_every:
                 last_json = time.time()
                 os.makedirs(args.write_json, exist_ok=True)
-                doc = json_out.generate_aircraft_json(self.tracker, now, self.messages)
-                json_out.write_json_atomic(doc, os.path.join(args.write_json, "aircraft.json"))
-                if args.write_json_gzip:
-                    import gzip as _gzip
-                    import json as _json
-
-                    blob = _gzip.compress(
-                        _json.dumps(doc, separators=(",", ":")).encode(), 5
+                # with the API enabled, aircraft.json byte-joins the api
+                # buffer's prebuilt fragments instead of re-rendering every
+                # aircraft (apiGenerateAircraftJson, api.c:2027; the
+                # reference's jsonEntryPoint does exactly this)
+                snap = getattr(getattr(self, "api_server", None), "snapshot", None)
+                if snap is not None and now - snap.now <= (
+                    args.write_json_every * 1000 + 1000
+                ):
+                    data = json_out.aircraft_json_bytes_from_api(snap, self.messages)
+                    json_out.write_bytes_atomic(
+                        data, os.path.join(args.write_json, "aircraft.json")
                     )
-                    tmp = os.path.join(args.write_json, ".aircraft.json.gz.tmp")
-                    with open(tmp, "wb") as _f:
-                        _f.write(blob)
-                    os.replace(tmp, os.path.join(args.write_json, "aircraft.json.gz"))
+                    if args.write_json_gzip:
+                        json_out.write_bytes_atomic(
+                            data,
+                            os.path.join(args.write_json, "aircraft.json.gz"),
+                            gzip_level=5,
+                        )
+                else:
+                    doc = json_out.generate_aircraft_json(self.tracker, now, self.messages)
+                    json_out.write_json_atomic(doc, os.path.join(args.write_json, "aircraft.json"))
+                    if args.write_json_gzip:
+                        import gzip as _gzip
+                        import json as _json
+
+                        blob = _gzip.compress(
+                            _json.dumps(doc, separators=(",", ":")).encode(), 5
+                        )
+                        tmp = os.path.join(args.write_json, ".aircraft.json.gz.tmp")
+                        with open(tmp, "wb") as _f:
+                            _f.write(blob)
+                        os.replace(tmp, os.path.join(args.write_json, "aircraft.json.gz"))
                 rj = json_out.generate_receiver_json(
                     int(args.write_json_every * 1000), args.lat, args.lon
                 )

@@ -90,7 +90,11 @@ class ApiSnapshot:
                 self.by_reg.setdefault(a.registration.upper(), []).append(i)
             if a.type_code:
                 self.by_type.setdefault(a.type_code.upper(), []).append(i)
-            self.frag.append(json.dumps(aircraft_dict(tracker, a, now)).encode())
+            self.frag.append(
+                json.dumps(
+                    aircraft_dict(tracker, a, now), separators=(",", ":")
+                ).encode()
+            )
             self.bin.append(to_bincraft(tracker, a, now))
         self.elem_size = len(self.bin[0]) if self.bin else 112
 

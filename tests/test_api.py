@@ -238,3 +238,44 @@ def test_api_unix_socket(tmp_path_factory):
         srv.server.close()
 
     asyncio.run(go())
+
+
+def test_aircraft_json_from_api_snapshot():
+    """aircraft.json byte-joined from the API buffer's prebuilt fragments
+    (apiGenerateAircraftJson analog) parses to the same objects the
+    fragments encode."""
+    import json as _json
+
+    from readsb_tpu.io.api import ApiSnapshot
+    from readsb_tpu.io.json_out import aircraft_json_bytes_from_api
+
+    tr, now = _tracker_fixture() if "_tracker_fixture" in globals() else (None, None)
+    if tr is None:
+        # build a small fleet inline
+        from readsb_tpu.decode.fields import Source
+        from readsb_tpu.track.tracker import Aircraft, Tracker, Validity
+
+        tr = Tracker()
+        now = 5_000_000
+        for i in range(25):
+            a = Aircraft(addr=0x600000 + i)
+            a.seen = now - 100 * i
+            a.messages = 10 + i
+            a.baro_alt = 10_000 + 100 * i
+            a.baro_alt_valid = Validity(updated=a.seen, source=Source.ADSB,
+                                        last_source=Source.ADSB)
+            a.callsign = f"API{i:03d}"
+            a.callsign_valid = Validity(updated=a.seen, source=Source.ADSB,
+                                        last_source=Source.ADSB)
+            tr.aircraft[a.addr] = a
+
+    snap = ApiSnapshot(tr, now)
+    data = aircraft_json_bytes_from_api(snap, messages=1234)
+    doc = _json.loads(data)
+    assert doc["messages"] == 1234
+    assert doc["now"] == round(now / 1000.0, 1)
+    assert len(doc["aircraft"]) == len(snap.frag) == 25
+    hexes = {d["hex"] for d in doc["aircraft"]}
+    assert f"{0x600000:06x}" in hexes
+    flights = {d.get("flight", "").strip() for d in doc["aircraft"]}
+    assert "API000" in flights
