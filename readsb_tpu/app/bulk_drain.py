@@ -333,7 +333,7 @@ def materialize_arena(app, now: int) -> None:
     fields lives ON DEVICE in this mode."""
     import jax
 
-    from ..track.arena import FIELD_IDX, TRACK_EXPIRE
+    from ..track.arena import FIELD_IDX, INT_FIELDS, TRACK_EXPIRE
 
     arena = app.arena
     tr = app.tracker
@@ -350,7 +350,8 @@ def materialize_arena(app, now: int) -> None:
                 continue
             v = getattr(a, name + "_valid")
             if int(st.fts[s, j]) > v.updated:
-                setattr(a, name, float(st.fval[s, j]))
+                val = float(st.fval[s, j])
+                setattr(a, name, int(val) if name in INT_FIELDS else val)
                 v.updated = int(st.fts[s, j])
                 v.source = v.last_source = SRC[int(st.fsrc[s, j])]
         if st.alt_src[s] >= 0 and int(st.alt_ts[s]) > a.baro_alt_valid.updated:

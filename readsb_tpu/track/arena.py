@@ -59,12 +59,25 @@ FIELDS = (
     "ias",
     "tas",
     "mach",
+    "geom_alt",
+    "geom_delta",
+    "nav_qnh",
+    "nav_altitude_mcp",
+    "nav_altitude_fms",
+    "nav_heading",
 )
 NFIELDS = len(FIELDS)
 FIELD_IDX = {name: i for i, name in enumerate(FIELDS)}
+# integer-typed aircraft fields (materializers cast back from the f32 SoA)
+INT_FIELDS = frozenset(
+    {"geom_alt", "geom_delta", "nav_altitude_mcp", "nav_altitude_fms",
+     "baro_rate", "geom_rate", "ias", "tas"}
+)
 # message attribute carrying each field (tracker.py reads gs_selected)
 ATTR_OF = {name: name for name in FIELDS}
 ATTR_OF["gs"] = "gs_selected"
+ATTR_OF["nav_altitude_mcp"] = "nav_mcp_altitude"
+ATTR_OF["nav_altitude_fms"] = "nav_fms_altitude"
 _J_BR = FIELD_IDX["baro_rate"]
 _J_GR = FIELD_IDX["geom_rate"]
 

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from readsb_tpu.decode.fields import ModesMessage, Source
-from readsb_tpu.track.arena import Arena, FIELDS
+from readsb_tpu.track.arena import ATTR_OF, Arena, FIELDS
 from readsb_tpu.track.tracker import TRACK_EXPIRE, Tracker
 
 
@@ -24,9 +24,8 @@ def make_msgs(seed=5, n_aircraft=40, n_msgs=3000, t0=1_000_000):
         mm = ModesMessage(msgtype=17, addr=addr, source=Source(src),
                           sys_timestamp_ms=t)
         for name in FIELDS:
-            attr = "gs_selected" if name == "gs" else name
             if rng.random() < 0.25:
-                setattr(mm, attr, float(np.float32(rng.uniform(-500, 500))))
+                setattr(mm, ATTR_OF[name], float(np.float32(rng.uniform(-500, 500))))
         if rng.random() < 0.1:
             mm.callsign = "FL" + str(int(rng.integers(100, 999)))
         msgs.append(mm)
