@@ -194,6 +194,26 @@ def _row_prefix_excl_i32(x: jax.Array) -> jax.Array:
     return inc - x
 
 
+def _row_prefix_excl_fast(col: jax.Array) -> jax.Array:
+    """Exclusive prefix over a (rows, 1) column, lane-parallel.
+
+    The straight log-roll scan operates on (rows, 1) vregs — 1/128th of
+    the VPU (~0.6 ms/superblock of the dense kernel, r5 session probes).
+    Regroup to (rows/128, 128), lane-scan at full width, then a tiny
+    sublane scan stitches the groups.  Bit-identical (wraparound int32);
+    the (rows, 1) <-> (rows/128, 128) reshapes compile on Mosaic.
+    """
+    rows = col.shape[0]
+    if rows % LANES:
+        return _row_prefix_excl_i32(col)
+    g = rows // LANES
+    rt = col.reshape(g, LANES)
+    rp = _lane_prefix_i32(rt)  # inclusive within each 128-row group
+    excl = rp - rt
+    off = _row_prefix_excl_i32(rp[:, LANES - 1:])  # (g, 1) group offsets
+    return (excl + off).reshape(rows, 1)
+
+
 def _dense_scan_kernel(
     thr_ref, m_ref, halo_ref, wlo_ref, whi_ref,
     corr_ref, pw_ref, cs_hi_ref, cs_lo_ref, carry
@@ -301,8 +321,8 @@ def _dense_body(thr, m_ext, wlo_ref, whi_ref,
 
     ph = _lane_prefix_i32(sq_hi)
     pl_ = _lane_prefix_i32(sq_lo)
-    rh = _row_prefix_excl_i32(ph[:, LANES - 1 :])
-    rl = _row_prefix_excl_i32(pl_[:, LANES - 1 :])
+    rh = _row_prefix_excl_fast(ph[:, LANES - 1 :])
+    rl = _row_prefix_excl_fast(pl_[:, LANES - 1 :])
     cs_hi = ph + rh + carry[0]
     cs_lo = pl_ + rl + carry[1]
     cs_hi_ref[:] = cs_hi
