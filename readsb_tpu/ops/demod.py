@@ -70,6 +70,10 @@ _BYTE_SCHED = {
 }
 
 NUM_PHASES = 5  # try_phase 4..8
+# Fused single-kernel demod (ops/fused.py): dense scan + in-tile
+# compaction + extract in one Pallas pass.  Off by default until the
+# on-device timing says it beats the staged path (r5).
+USE_FUSED = False
 MAX_TAPS = 4
 SLICE_WINDOW = 320  # max sample offset read by any tap, padded
 WORDS_PER_CAND = 11  # ceil((31 + SLICE_WINDOW) / 32) words cover any window
@@ -393,6 +397,12 @@ class BlockCandidates(NamedTuple):
     # fused-classifier flags (extract_classify_pallas lanes 83:88), or None:
     # per-phase bitmask 1=in_t112 2=in_t56 4=in_tbl 8=fix_ok 16=zero7
     flags: jax.Array | None = None
+    # fused-kernel path (ops/fused.py): per-row live mask (sentinel rows
+    # carry tile-end offsets to keep the list nondecreasing) and an
+    # overflow scalar (>0 => per-tile or per-row capacity exceeded; the
+    # caller must redo the block via the staged path)
+    live: jax.Array | None = None
+    fused_overflow: jax.Array | None = None
 
     @property
     def sigsum_long(self) -> np.ndarray:
@@ -494,6 +504,7 @@ def _demod_core(
     known_tbl: jax.Array | None = None,
     nfix: int = 1,
     fix_df: bool = True,
+    force_staged: bool = False,
 ):
     """Stages 1-5 of the demodulator (everything except signal power).
 
@@ -528,6 +539,43 @@ def _demod_core(
 
     # --- stages 1/2/6a: dense scan (fused Pallas kernel on TPU) -------------
     from . import pallas_kernels
+
+    if USE_FUSED and not force_staged and (pallas_kernels.supported() or raw_uc8):
+        from .fused import TILE as _FTILE
+        from .fused import L_ROW, fused_demod_tiles
+
+        if raw_uc8:
+            mag = pallas_kernels.mag_uc8_pallas(
+                buf, interpret=pallas_kernels.INTERPRET
+            )
+        else:
+            mag = buf
+        padded = ((scan_len + _FTILE - 1) // _FTILE) * _FTILE
+        magp = jnp.pad(mag, (0, max(0, padded - mag.shape[0])))[:padded]
+        ntiles = padded // _FTILE
+        cap = max(128, k // ntiles)
+        comb, offsets, live, meta, cs_hi, cs_lo = fused_demod_tiles(
+            magp, threshold, cap=cap, seg_stride=seg_stride,
+            seg_valid=seg_valid, scan_limit=scan_len,
+            interpret=pallas_kernels.INTERPRET,
+        )
+        kf = ntiles * cap
+        n_cand = jnp.sum(meta[:, 0])
+        overflow = jnp.maximum(
+            jnp.max(meta[:, 0]) - cap, jnp.max(meta[:, 2]) - L_ROW
+        )
+        syn112 = comb[:, 0:5]
+        syn56 = comb[:, 5:10]
+        msg = comb[:, 10:80].reshape(kf, NUM_PHASES, 14).astype(jnp.uint8)
+        corr_fired = (comb[:, 80:83] != 0) & live[:, None]
+        zeros2 = jnp.zeros((kf, 2), jnp.int32)
+        bc = BlockCandidates(
+            offsets=offsets, n_cand=n_cand, max_local=jnp.max(meta[:, 1]),
+            corr_fired=corr_fired, msg=msg, syn112=syn112, syn56=syn56,
+            sig_long=zeros2, sig_short=zeros2, live=live,
+            fused_overflow=overflow,
+        )
+        return bc, cs_hi, cs_lo
 
     if raw_uc8:
         # pad with >= 512 extra zero words: the final tile's synthetic

@@ -82,6 +82,9 @@ class GatedCandidates(NamedTuple):
     # cumulative (pre, unknown, bad) drop counts at channel starts — the
     # host derives exact per-channel stats by differencing
     drop_cum_chan: jax.Array  # int32[3, C+1]
+    # fused-kernel overflow passthrough (BlockCandidates.fused_overflow):
+    # > 0 means the caller must redo the block via the staged path
+    fused_overflow: jax.Array | None = None
 
 
 def score_gate(
@@ -124,6 +127,10 @@ def score_gate(
         valid = (bc.offsets < scan_len) & ((bc.offsets % seg_stride) < valid_len)
     else:
         valid = bc.offsets < valid_len  # (K,)
+    if bc.live is not None:
+        # fused-kernel path: per-tile sentinel rows carry tile-end offsets
+        # (list stays nondecreasing); only live rows are candidates
+        valid &= bc.live
     msg = bc.msg.astype(jnp.int32)
     df = msg[:, :, 0] >> 3  # (K,5)
     aa = (msg[:, :, 1] << 16) | (msg[:, :, 2] << 8) | msg[:, :, 3]
@@ -285,6 +292,7 @@ def score_gate(
         drop_cum_q=drop_cum_q,
         drop_cum_bnd=drop_cum_bnd,
         drop_cum_chan=drop_cum_chan,
+        fused_overflow=bc.fused_overflow,
     )
 
 

@@ -345,6 +345,7 @@ class Demodulator:
 def _demod_and_gate(
     mag, overlap, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every, keep_l=64,
+    force_staged=False,
 ):
     """One dispatch: concat overlap, demod, score-gate, block stats.
 
@@ -357,7 +358,7 @@ def _demod_and_gate(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         known_tbl=known_tbl if FUSE_CLASSIFY else None,
-        nfix=nfix, fix_df=fix_df,
+        nfix=nfix, fix_df=fix_df, force_staged=force_staged,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -376,11 +377,13 @@ def _demod_and_gate(
     jax.jit,
     static_argnames=(
         "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every", "keep_l",
+        "force_staged",
     ),
 )
 def _demod_and_gate_raw(
     words, overlap_words, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every, keep_l=64,
+    force_staged=False,
 ):
     """Fused-path variant of _demod_and_gate: raw UC8 words in, the
     magnitude array never materializes (dense_scan_uc8_pallas).  Block
@@ -392,7 +395,7 @@ def _demod_and_gate_raw(
     bc, cs_hi, cs_lo = demod_ops._demod_core(
         buf, threshold, k=k, scan_len=scan_len, l=l, raw_uc8=True,
         known_tbl=known_tbl if FUSE_CLASSIFY else None,
-        nfix=nfix, fix_df=fix_df,
+        nfix=nfix, fix_df=fix_df, force_staged=force_staged,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -406,13 +409,13 @@ def _demod_and_gate_raw(
     jax.jit,
     static_argnames=(
         "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every",
-        "seg_stride", "seg_valid", "keep_l",
+        "seg_stride", "seg_valid", "keep_l", "force_staged",
     ),
 )
 def _demod_and_gate_multi_raw(
     words, overlap_words, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every, seg_stride, seg_valid,
-    keep_l=64,
+    keep_l=64, force_staged=False,
 ):
     """Fused-path variant of _demod_and_gate_multi (raw UC8 words)."""
     from .ops.gate import score_gate
@@ -427,7 +430,7 @@ def _demod_and_gate_multi_raw(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid, raw_uc8=True,
         known_tbl=known_tbl if FUSE_CLASSIFY else None,
-        nfix=nfix, fix_df=fix_df,
+        nfix=nfix, fix_df=fix_df, force_staged=force_staged,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,
@@ -462,11 +465,17 @@ def _demod_mag_gated(self: Demodulator, mag: jax.Array, valid_len: int) -> list[
             fix_df=self.fix_df,
             reset_every=self.block_samples,
             keep_l=self.gate_keep_l,
+            force_staged=getattr(self, "_force_staged", False),
         )
         n, max_local, n_keep, kw = jax.device_get(
             [gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]
         )
         n, max_local, n_keep, kw = int(n), int(max_local), int(n_keep), int(kw)
+        if gc.fused_overflow is not None and int(gc.fused_overflow) > 0:
+            # fused per-tile/per-row capacity exceeded: redo via the
+            # staged path (sticky — the fused capacities are static)
+            self._force_staged = True
+            continue
         if (
             n <= self.k and max_local <= self.compact_l
             and n_keep <= self.gate_k2 and kw <= self.gate_keep_l
@@ -559,11 +568,15 @@ def _demod_raw_gated(self: Demodulator, raw_bytes: np.ndarray, valid_len: int) -
             k=self.k, scan_len=self.super_samples, l=self.compact_l,
             k2=self.gate_k2, nfix=self.nfix, fix_df=self.fix_df,
             reset_every=self.block_samples, keep_l=self.gate_keep_l,
+            force_staged=getattr(self, "_force_staged", False),
         )
         n, max_local, n_keep, kw2 = map(
             int,
             jax.device_get([gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]),
         )
+        if gc.fused_overflow is not None and int(gc.fused_overflow) > 0:
+            self._force_staged = True
+            continue
         if (
             n <= self.k and max_local <= self.compact_l
             and n_keep <= self.gate_k2 and kw2 <= self.gate_keep_l
@@ -788,6 +801,7 @@ class MultiDemodulator:
                     reset_every=self.block_samples,
                     seg_stride=self.seg_stride, seg_valid=self.seg_valid,
                     keep_l=self.gate_keep_l,
+                    force_staged=getattr(self, "_force_staged", False),
                 )
                 new_overlap = level = power = None
             else:
@@ -814,6 +828,9 @@ class MultiDemodulator:
                     [gc.n_cand, gc.max_local, gc.n_keep, gc.keep_watermark]
                 ),
             )
+            if gc.fused_overflow is not None and int(gc.fused_overflow) > 0:
+                self._force_staged = True
+                continue
             if (
                 n <= self.k and max_local <= self.compact_l
                 and n_keep <= self.gate_k2 and kw <= self.gate_keep_l
