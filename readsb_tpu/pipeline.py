@@ -774,12 +774,18 @@ class MultiDemodulator:
     def _process(self, chunk: np.ndarray, valid_len: int) -> list[list[RawFrame]]:
         raw_mode = self.fmt == "uc8" and pallas_kernels.supported()
         if raw_mode:
-            # fused convert+dense path: per-channel raw words + raw overlap
-            words = jnp.asarray(
-                np.frombuffer(chunk.tobytes(), dtype="<u2").reshape(
-                    self.n_chan, self.seg_valid
+            # fused convert+dense path: per-channel raw words + raw overlap.
+            # A jax.Array chunk is PRE-STAGED device words (C, seg_valid)
+            # — the sustained-e2e loops feed those so no per-dispatch IQ
+            # upload rides the host->device link.
+            if isinstance(chunk, jax.Array):
+                words = chunk
+            else:
+                words = jnp.asarray(
+                    np.frombuffer(chunk.tobytes(), dtype="<u2").reshape(
+                        self.n_chan, self.seg_valid
+                    )
                 )
-            )
             if getattr(self, "_overlap_words", None) is None:
                 # 0x8080 = I=Q=128 ≈ silence (see _demod_raw_gated)
                 self._overlap_words = np.full(
@@ -853,9 +859,12 @@ class MultiDemodulator:
             ]
         )
         if raw_mode:
-            self._overlap_words = np.frombuffer(
-                chunk.tobytes(), dtype="<u2"
-            ).reshape(self.n_chan, self.seg_valid)[:, -TRAILING_SAMPLES:]
+            if isinstance(chunk, jax.Array):
+                self._overlap_words = words[:, -TRAILING_SAMPLES:]
+            else:
+                self._overlap_words = np.frombuffer(
+                    chunk.tobytes(), dtype="<u2"
+                ).reshape(self.n_chan, self.seg_valid)[:, -TRAILING_SAMPLES:]
         else:
             self._overlap_dev = new_overlap
             lv, pw = jax.device_get([level, power])
