@@ -340,6 +340,7 @@ class Demodulator:
     jax.jit,
     static_argnames=(
         "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every", "keep_l",
+        "force_staged",
     ),
 )
 def _demod_and_gate(
@@ -610,13 +611,13 @@ Demodulator._demod_raw_gated = _demod_raw_gated
     jax.jit,
     static_argnames=(
         "k", "scan_len", "l", "k2", "nfix", "fix_df", "reset_every",
-        "seg_stride", "seg_valid", "keep_l",
+        "seg_stride", "seg_valid", "keep_l", "force_staged",
     ),
 )
 def _demod_and_gate_multi(
     mags, overlaps, valid_len, threshold, known_tbl,
     *, k, scan_len, l, k2, nfix, fix_df, reset_every, seg_stride, seg_valid,
-    keep_l=64,
+    keep_l=64, force_staged=False,
 ):
     """One dispatch demodulating C channels (SURVEY 2.5 batch axis).
 
@@ -638,7 +639,7 @@ def _demod_and_gate_multi(
         buf, threshold, k=k, scan_len=scan_len, l=l,
         seg_stride=seg_stride, seg_valid=seg_valid,
         known_tbl=known_tbl if FUSE_CLASSIFY else None,
-        nfix=nfix, fix_df=fix_df,
+        nfix=nfix, fix_df=fix_df, force_staged=force_staged,
     )
     gc = score_gate(
         bc, known_tbl, cs_hi, cs_lo, valid_len,

@@ -107,3 +107,46 @@ def test_fused_pipeline_frames_match(workload, monkeypatch):
     assert st_fused.preambles == st_base.preambles
     assert st_fused.rejected_bad == st_base.rejected_bad
     assert st_fused.rejected_unknown_icao == st_base.rejected_unknown_icao
+
+
+def test_fused_overflow_falls_back_to_staged(workload, monkeypatch):
+    """When a tile exceeds the fused kernel's per-row capacity, the
+    pipeline must detect fused_overflow and redo the block via the staged
+    path (sticky), producing identical frames."""
+    import readsb_tpu.ops.demod as demod_ops2
+    import readsb_tpu.ops.fused as fused2
+    import readsb_tpu.ops.pallas_kernels as pk2
+    from readsb_tpu.pipeline import Demodulator
+
+    buf, n = workload
+    mag = np.asarray(buf, np.uint16)
+    blocks = n // 131072
+    if blocks == 0:
+        pytest.skip("workload shorter than a block")
+    mag = mag[: blocks * 131072]
+
+    monkeypatch.setattr(pk2, "INTERPRET", True)
+    d0 = Demodulator(blocks_per_batch=blocks, use_gate=True)
+    base = [f.msg.hex() for f in d0.process_mag(mag) + d0.flush()]
+
+    # L_ROW=1 guarantees per-row overflow on this capture.  The jitted
+    # wrappers cache traces keyed on static args, so clear them around
+    # the patched constant (and again after, so later tests retrace
+    # with the real L_ROW).
+    import readsb_tpu.pipeline as pl_mod2
+
+    def _clear():
+        fused2.fused_demod_tiles.clear_cache()
+        pl_mod2._demod_and_gate.clear_cache()
+
+    monkeypatch.setattr(fused2, "L_ROW", 1)
+    monkeypatch.setattr(demod_ops2, "USE_FUSED", True)
+    _clear()
+    try:
+        d1 = Demodulator(blocks_per_batch=blocks, use_gate=True)
+        got = [f.msg.hex() for f in d1.process_mag(mag) + d1.flush()]
+    finally:
+        monkeypatch.undo()
+        _clear()
+    assert got == base and len(base) > 0
+    assert getattr(d1, "_force_staged", False), "fallback should be sticky"
