@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bulk import _NIC_V0 as _NIC_V0_B
+from .bulk import _RC_V0 as _RC_V0_B
 from .tracker import CPR_MAX_INTERVAL, TRACK_EXPIRE, TRACK_STALE, Source
 
 ARENA_SLOTS = 1 << 17
@@ -113,6 +115,8 @@ class ArenaState(NamedTuple):
     c_surf: jax.Array  # bool[N, 2]
     c_ts: jax.Array  # int32[N, 2]
     c_src: jax.Array  # int32[N, 2]
+    c_nic: jax.Array  # int32[N, 2] integrity category at pair accept
+    c_rc: jax.Array  # f32[N, 2] containment radius (meters)
 
 
 def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
@@ -141,6 +145,8 @@ def empty_arena(n: int = ARENA_SLOTS) -> ArenaState:
         c_surf=jnp.zeros((n, 2), bool),
         c_ts=jnp.full((n, 2), _NEVER, jnp.int32),
         c_src=jnp.full((n, 2), -1, jnp.int32),
+        c_nic=jnp.zeros((n, 2), jnp.int32),
+        c_rc=jnp.zeros((n, 2), jnp.float32),
     )
 
 
@@ -167,6 +173,8 @@ class UpdateBatch(NamedTuple):
     cpr_surf: jax.Array  # bool[M]
     cpr_lat: jax.Array  # int32[M] raw 17-bit CPR
     cpr_lon: jax.Array  # int32[M]
+    cpr_nic: jax.Array  # int32[M] NIC at pair accept (v0 tables)
+    cpr_rc: jax.Array  # f32[M] Rc (meters)
 
 
 def _scatter(base, slot, mask, vals, fill):
@@ -193,7 +201,7 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         (fval, fts, fsrc, callsign, cs_ts, cs_src,
          alt, alt_ts, alt_src, alt_rel, alt_set,
          squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
-         c_lat, c_lon, c_surf, c_ts, c_src) = carry
+         c_lat, c_lon, c_surf, c_ts, c_src, c_nic, c_rc) = carry
         mrow = live & (b.rank == r)
         slot = jnp.where(mrow, b.slot, n)
 
@@ -337,11 +345,15 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         p_surf = _scatter(jnp.zeros(n, bool), slot, mrow, b.cpr_surf, False)
         p_lat = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.cpr_lat, 0)
         p_lon = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.cpr_lon, 0)
+        p_nic = _scatter(jnp.zeros(n, jnp.int32), slot, mrow, b.cpr_nic, 0)
+        p_rc = _scatter(jnp.zeros(n, jnp.float32), slot, mrow, b.cpr_rc, 0.0)
         par = p_odd.astype(jnp.int32)  # 0=even, 1=odd
         sel = jax.nn.one_hot(par, 2, dtype=bool) & p_have[:, None]
         c_lat = jnp.where(sel, p_lat[:, None], c_lat)
         c_lon = jnp.where(sel, p_lon[:, None], c_lon)
         c_surf = jnp.where(sel, p_surf[:, None], c_surf)
+        c_nic = jnp.where(sel, p_nic[:, None], c_nic)
+        c_rc = jnp.where(sel, p_rc[:, None], c_rc)
         pair_ts = jnp.take_along_axis(c_ts, par[:, None], axis=1)[:, 0]
         pair_src = jnp.take_along_axis(c_src, par[:, None], axis=1)[:, 0]
         acc_p = p_have & gate(pair_ts, pair_src)
@@ -369,29 +381,35 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
             c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1], par
         )
         dec_ok = glob & dec["ok"]
+        # decoded NIC/Rc for a global fix: worse of the pair halves
+        # (doGlobalCPR, track.c:753-756)
+        d_nic = jnp.minimum(c_nic[:, 0], c_nic[:, 1])
+        d_rc = jnp.maximum(c_rc[:, 0], c_rc[:, 1])
         ys = jnp.stack(
             [dec_ok.astype(jnp.int32), dec["j"], dec["nl"], dec["ni"],
-             dec["m"], c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1]],
+             dec["m"], c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1],
+             d_nic,
+             jax.lax.bitcast_convert_type(d_rc, jnp.int32)],
             axis=1,
-        )  # (n, 9) per-round device decode record
+        )  # (n, 11) per-round device decode record
 
         return (fval, fts, fsrc, callsign, cs_ts, cs_src,
                 alt, alt_ts, alt_src, alt_rel, alt_set,
                 squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
-                c_lat, c_lon, c_surf, c_ts, c_src), ys
+                c_lat, c_lon, c_surf, c_ts, c_src, c_nic, c_rc), ys
 
     carry = (state.fval, state.fts, state.fsrc, state.callsign,
              state.cs_ts, state.cs_src, state.alt, state.alt_ts,
              state.alt_src, state.alt_rel, state.alt_set, state.squawk,
              state.sq_ts, state.sq_src, state.sq_tent, state.sq_tent_ts,
              state.c_lat, state.c_lon, state.c_surf, state.c_ts,
-             state.c_src)
+             state.c_src, state.c_nic, state.c_rc)
     carry, cpr_ys = jax.lax.scan(
         round_step, carry, jnp.arange(rounds, dtype=jnp.int32)
     )
     (fval, fts, fsrc, callsign, cs_ts, cs_src, alt, alt_ts, alt_src,
      alt_rel, alt_set, squawk, sq_ts, sq_src, sq_tent, sq_tent_ts,
-     c_lat, c_lon, c_surf, c_ts, c_src) = carry
+     c_lat, c_lon, c_surf, c_ts, c_src, c_nic, c_rc) = carry
     return ArenaState(
         icao=icao, seen=seen, messages=messages,
         fval=fval, fts=fts, fsrc=fsrc,
@@ -401,6 +419,7 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         squawk=squawk, sq_ts=sq_ts, sq_src=sq_src, sq_tent=sq_tent,
         sq_tent_ts=sq_tent_ts,
         c_lat=c_lat, c_lon=c_lon, c_surf=c_surf, c_ts=c_ts, c_src=c_src,
+        c_nic=c_nic, c_rc=c_rc,
     ), cpr_ys
 
 
@@ -441,6 +460,8 @@ def arena_sweep(state: ArenaState, now_ms, ttl_ms) -> tuple[ArenaState, jax.Arra
         c_surf=clr(state.c_surf, False),
         c_ts=clr(state.c_ts, _NEVER),
         c_src=clr(state.c_src, -1),
+        c_nic=clr(state.c_nic, 0),
+        c_rc=clr(state.c_rc, 0.0),
     )
     return ns, dead
 
@@ -502,6 +523,8 @@ class Arena:
         cpr_surf = np.zeros(mpad, bool)
         cpr_lat = np.zeros(mpad, np.int32)
         cpr_lon = np.zeros(mpad, np.int32)
+        cpr_nic = np.zeros(mpad, np.int32)
+        cpr_rc = np.zeros(mpad, np.float32)
         for i, (s, r, addr, mm) in enumerate(rows):
             slot[i] = s
             rank[i] = r
@@ -531,12 +554,17 @@ class Arena:
                 sq[i] = int(qv)
             if getattr(mm, "cpr_valid", False):
                 from ..decode.fields import CprType
+                from .bulk import _NIC_V0, _RC_V0
 
                 cpr_valid[i] = True
                 cpr_odd[i] = bool(mm.cpr_odd)
                 cpr_surf[i] = mm.cpr_type == CprType.SURFACE
                 cpr_lat[i] = int(mm.cpr_lat)
                 cpr_lon[i] = int(mm.cpr_lon)
+                mt = int(getattr(mm, "metype", 0) or 0)
+                nb = 1 if getattr(mm, "nic_b", 0) else 0
+                cpr_nic[i] = int(_NIC_V0[mt, nb])
+                cpr_rc[i] = float(_RC_V0[mt, nb])
         batch = UpdateBatch(
             slot=jnp.asarray(slot), rank=jnp.asarray(rank),
             icao=jnp.asarray(icao), ts=jnp.asarray(ts),
@@ -547,7 +575,8 @@ class Arena:
             sq_valid=jnp.asarray(sq_valid), sq=jnp.asarray(sq),
             cpr_valid=jnp.asarray(cpr_valid), cpr_odd=jnp.asarray(cpr_odd),
             cpr_surf=jnp.asarray(cpr_surf), cpr_lat=jnp.asarray(cpr_lat),
-            cpr_lon=jnp.asarray(cpr_lon),
+            cpr_lon=jnp.asarray(cpr_lon), cpr_nic=jnp.asarray(cpr_nic),
+            cpr_rc=jnp.asarray(cpr_rc),
         )
         self.state, cpr_ys = arena_update(self.state, batch, rounds)
         recs = [
@@ -627,6 +656,10 @@ class Arena:
             cpr_surf=jnp.asarray(pad(cols["cpr_surface"], False, bool)),
             cpr_lat=jnp.asarray(pad(cols["cpr_lat"], 0, np.int32)),
             cpr_lon=jnp.asarray(pad(cols["cpr_lon"], 0, np.int32)),
+            cpr_nic=jnp.asarray(pad(
+                _NIC_V0_B[cols["metype"], cols["nic_b"]], 0, np.int32)),
+            cpr_rc=jnp.asarray(pad(
+                _RC_V0_B[cols["metype"], cols["nic_b"]], 0.0, np.float32)),
         )
         self.state, cpr_ys = arena_update(self.state, batch, rounds)
         cmask = np.asarray(cols["cpr_valid"], bool)
@@ -649,7 +682,7 @@ class Arena:
 
         if len(rr) == 0:
             return
-        rec = ys[rr, ss]  # (m, 9): ok, j, nl, ni, m, elat, elon, olat, olon
+        rec = ys[rr, ss]  # (m, 11): ok, j, nl, ni, m, pairs, d_nic, d_rc
         ok = rec[:, 0] != 0
         if not ok.any():
             return
@@ -657,10 +690,12 @@ class Arena:
         lat, lon = airborne_latlon_f64(
             dev, rec[:, 5], rec[:, 6], rec[:, 7], rec[:, 8], ffs
         )
+        rc = rec[:, 10].astype(np.int32).view(np.float32)
         for i in np.nonzero(ok)[0]:
             self.cpr_decodes.append(
                 (int(addrs[i]), int(tss[i]), bool(ffs[i]),
-                 float(lat[i]), float(lon[i]))
+                 float(lat[i]), float(lon[i]),
+                 int(rec[i, 9]), float(rc[i]))
             )
 
     def sweep(self, now_ms: int, ttl_ms: int = 5 * TRACK_EXPIRE) -> int:

@@ -196,7 +196,9 @@ def test_arena_device_cpr_matches_host_chain():
         out = orig(a, mm)
         if out is not None and mm.cpr_type != CprType.SURFACE:
             host_decodes.append(
-                (a.addr, mm.sys_timestamp_ms, bool(mm.cpr_odd), out[0], out[1])
+                (a.addr, mm.sys_timestamp_ms, bool(mm.cpr_odd), out[0], out[1],
+                 min(a.cpr_even.nic, a.cpr_odd.nic),
+                 max(a.cpr_even.rc, a.cpr_odd.rc))
             )
         return out
 

@@ -192,7 +192,7 @@ def test_device_arena_app_equivalence():
 
     # the device CPR fixes agree with the served (host-chain) positions
     last_fix = {}
-    for addr, ts, ff, lat, lon in app_a.arena.cpr_decodes:
+    for addr, ts, ff, lat, lon, _nic, _rc in app_a.arena.cpr_decodes:
         last_fix[addr] = (lat, lon)
     n_match = 0
     for addr, (lat, lon) in last_fix.items():
