@@ -147,3 +147,135 @@ def airborne_latlon_f64(dev: dict, elat, elon, olat, olon, fflag):
     rlon = dlon * (mm + np.where(f, olon, elon) / 131072)
     rlon -= np.floor((rlon + 180) / 360) * 360
     return rlat, rlon
+
+
+# ---------------------------------------------------------------------------
+# Surface global decode (cpr.c:223-319): same integer lattice at the 90-deg
+# scale, plus the reference-quadrant selection.  The quadrant compares
+# against reflat become host-precomputed integer thresholds (reflat is a
+# runtime scalar); the reflon longitude-quadrant shift is part of the host
+# f64 output map, exactly as the reference computes it.
+# ---------------------------------------------------------------------------
+
+_S_WRAP0 = 60 * 131072  # 90 deg in K0 units at the surface scale
+_S_WRAP1 = 59 * 131072
+
+
+@functools.lru_cache(maxsize=None)
+def _nl_thresholds_surface() -> tuple[np.ndarray, np.ndarray]:
+    """Integer NL thresholds for the surface-scale numerators.
+
+    rlat0 = 1.5*K0/131072: |rlat0| >= b <=> |K0| >= ceil(b*262144/3)
+    rlat1 = (90/59)*K1/131072: |rlat1| >= b <=> |K1| >= ceil(b*59*131072/90)
+    (integer numerators, so >= against the ceil'd threshold is exact up to
+    the f64 rounding of the threshold itself — measure-zero, as airborne).
+    """
+    import math
+
+    b = np.array([bound for bound, _ in _NL_BOUNDS])
+    t0 = np.array([math.ceil(x * 262144 / 3) for x in b], np.int64)
+    t1 = np.array([math.ceil(x * 59 * 131072 / 90) for x in b], np.int64)
+    return t0.astype(np.int32), t1.astype(np.int32)
+
+
+def surface_quadrant_consts(reflat: float) -> dict:
+    """Host-side integer thresholds for the quadrant selection at a given
+    reference latitude (runtime scalar): pass to decode_surface_core."""
+    import math
+
+    return {
+        "zneg": int(reflat < -45.0),
+        "zpos": int(reflat > 45.0),
+        # (rl0 - reflat) > 45 <=> 3*K0 > (45+reflat)*262144
+        "t0": int(math.floor((45.0 + reflat) * 262144.0)),
+        # (rl1 - reflat) > 45 <=> 45*K1 > (45+reflat)*59*65536 (scaled /2)
+        "t1": int(math.floor((45.0 + reflat) * 59.0 * 65536.0)),
+    }
+
+
+def decode_surface_core(elat, elon, olat, olon, fflag, zneg, zpos, t0, t1):
+    """Traceable exact-int surface global CPR core (cpr.c:223-319).
+
+    zneg/zpos/t0/t1: the surface_quadrant_consts scalars (int32 arrays or
+    scalars).  Returns the same decision dict as the airborne core; the
+    degrees come from `surface_latlon_f64`."""
+    elat = elat.astype(jnp.int32)
+    olat = olat.astype(jnp.int32)
+    elon = elon.astype(jnp.int32)
+    olon = olon.astype(jnp.int32)
+    f = fflag.astype(jnp.int32)
+
+    x = 59 * elat - 60 * olat
+    j = (2 * x + _Q0) >> 18
+    j60 = _mod(j, 60)
+    j59 = _mod(j, 59)
+    k0 = _Q0 * j60 + elat
+    k1 = _Q0 * j59 + olat
+
+    # quadrant selection (quad(), cpr.c:239-258): zero latitude snaps to
+    # the reference's hemisphere pole-side; otherwise a result more than
+    # 45 deg north of the reference shifts one 90-deg quadrant south
+    def quad(k, wrap, t, tscale_k):
+        zero = k == 0
+        k = jnp.where(zero & (zneg != 0), -wrap, k)
+        k = jnp.where(zero & (zpos != 0), wrap, k)
+        shift = (~zero) & (tscale_k > t)
+        return jnp.where(shift, k - wrap, k)
+
+    k0 = quad(k0, _S_WRAP0, t0, 3 * k0)
+    k1 = quad(k1, _S_WRAP1, t1, 45 * k1)
+    ok = (jnp.abs(k0) <= _S_WRAP0) & (jnp.abs(k1) <= _S_WRAP1)
+
+    s0, s1 = _nl_thresholds_surface()
+    s0 = jnp.asarray(s0)
+    s1 = jnp.asarray(s1)
+    nl0 = 59 - jnp.sum(
+        (jnp.abs(k0)[..., None] >= s0).astype(jnp.int32), axis=-1
+    )
+    nl1 = 59 - jnp.sum(
+        (jnp.abs(k1)[..., None] >= s1).astype(jnp.int32), axis=-1
+    )
+    ok &= nl0 == nl1
+
+    nlv = jnp.where(f != 0, nl1, nl0)
+    ni = jnp.maximum(nlv - f, 1)
+    mnum = elon * (nlv - 1) - olon * nlv
+    m = (2 * mnum + _Q0) >> 18
+    mm = _mod(m, ni)
+    return {"ok": ok, "j": j, "nl": nlv, "ni": ni, "m": mm}
+
+
+decode_surface_device = jax.jit(decode_surface_core)
+
+
+def surface_latlon_f64(dev, reflat, reflon, elat, elon, olat, olon, fflag):
+    """Host f64 map for the surface decisions, using the reference's exact
+    float expressions incl. the zero/45-deg quadrant rules and the
+    longitude reference-quadrant shift (cpr.c:239-317)."""
+    j = np.asarray(dev["j"]).astype(np.int64)
+    ni = np.asarray(dev["ni"]).astype(np.int64)
+    mm = np.asarray(dev["m"]).astype(np.int64)
+    f = np.asarray(fflag).astype(bool)
+    elat = np.asarray(elat, np.float64)
+    olat = np.asarray(olat, np.float64)
+    elon = np.asarray(elon, np.float64)
+    olon = np.asarray(olon, np.float64)
+
+    dlat0 = 90.0 / 60.0
+    dlat1 = 90.0 / 59.0
+    rlat0 = dlat0 * (np.mod(j, 60) + elat / 131072)
+    rlat1 = dlat1 * (np.mod(j, 59) + olat / 131072)
+
+    def quad(rl):
+        zero = rl == 0
+        rl = np.where(zero & (reflat < -45), -90.0, rl)
+        rl = np.where(zero & (reflat > 45), 90.0, rl)
+        rl = np.where(~zero & ((rl - reflat) > 45), rl - 90, rl)
+        return rl
+
+    rlat = np.where(f, quad(rlat1), quad(rlat0))
+    dlon = 90.0 / ni
+    rlon = dlon * (mm + np.where(f, olon, elon) / 131072)
+    rlon += np.floor((reflon - rlon + 45) / 90) * 90
+    rlon -= np.floor((rlon + 180) / 360) * 360
+    return rlat, rlon

@@ -60,3 +60,76 @@ def test_fuzz_vs_scalar_chain():
         assert lon[i] == ref[1], (i, lon[i], ref[1])
         n_ok += 1
     assert n_ok > 4000  # plenty of accepted decodes exercised
+
+
+# --------------------------- surface decode --------------------------------
+
+from readsb_tpu.ops.cpr_device import (  # noqa: E402
+    decode_surface_device,
+    surface_latlon_f64,
+    surface_quadrant_consts,
+)
+from tests.test_cpr_golden import GLOBAL_SURFACE  # noqa: E402
+
+
+def _run_surface(reflat, reflon, elat, elon, olat, olon, fflag):
+    q = surface_quadrant_consts(reflat)
+    dev = decode_surface_device(
+        np.asarray(elat, np.int32), np.asarray(elon, np.int32),
+        np.asarray(olat, np.int32), np.asarray(olon, np.int32),
+        np.asarray(fflag, np.int32),
+        np.int32(q["zneg"]), np.int32(q["zpos"]),
+        np.int32(q["t0"]), np.int32(q["t1"]),
+    )
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+    lat, lon = surface_latlon_f64(
+        dev, reflat, reflon, elat, elon, olat, olon, fflag
+    )
+    return dev["ok"].astype(bool), lat, lon
+
+
+def test_surface_golden_vectors():
+    for reflat, reflon, elat, elon, olat, olon, er_lat, er_lon, or_lat, or_lon in GLOBAL_SURFACE:
+        for fflag, want in ((0, (er_lat, er_lon)), (1, (or_lat, or_lon))):
+            ok, lat, lon = _run_surface(
+                reflat, reflon, [elat], [elon], [olat], [olon], [fflag]
+            )
+            assert ok[0], (reflat, reflon, fflag)
+            assert abs(lat[0] - want[0]) < 1e-5, (fflag, lat[0], want)
+            assert abs(lon[0] - want[1]) < 1e-5, (fflag, lon[0], want)
+
+
+def test_surface_fuzz_vs_scalar_chain():
+    rng = np.random.default_rng(31)
+    n = 4000
+    # quadrant-stressing reference points: both zero-latitude branches,
+    # both sides of the 45-deg shift threshold, and mid-latitudes
+    refs = [(-60.0, 10.0), (-44.9, -170.0), (0.0, 0.0), (30.0, 100.0),
+            (46.0, 5.0), (52.0, -1.0), (80.0, 179.5)]
+    total_ok = 0
+    for reflat, reflon in refs:
+        elat = rng.integers(0, 1 << 17, n).astype(np.int64)
+        elon = rng.integers(0, 1 << 17, n).astype(np.int64)
+        olat = np.where(
+            rng.random(n) < 0.5,
+            np.clip(elat + rng.integers(-600, 600, n), 0, (1 << 17) - 1),
+            rng.integers(0, 1 << 17, n),
+        )
+        olon = np.clip(elon + rng.integers(-600, 600, n), 0, (1 << 17) - 1)
+        fflag = rng.integers(0, 2, n)
+
+        ok, lat, lon = _run_surface(reflat, reflon, elat, elon, olat, olon, fflag)
+        for i in range(n):
+            ref = cpr.decode_surface(
+                reflat, reflon,
+                int(elat[i]), int(elon[i]), int(olat[i]), int(olon[i]),
+                int(fflag[i]),
+            )
+            if ref is None:
+                assert not ok[i], (reflat, i)
+                continue
+            assert ok[i], (reflat, i)
+            assert lat[i] == ref[0], (reflat, i, lat[i], ref[0])
+            assert lon[i] == ref[1], (reflat, i, lon[i], ref[1])
+            total_ok += 1
+    assert total_ok > 3000
