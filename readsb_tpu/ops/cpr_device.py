@@ -1,4 +1,6 @@
-"""Device-side CPR global airborne decode (cpr.c:170-221) — exact int32.
+"""Device-side CPR decode — exact int32, all three modes: global
+airborne (cpr.c:170-221), global surface with reference-quadrant
+selection (cpr.c:223-319), and relative (cpr.c:331-386).
 
 TPUs have no native f64, but the hard part of a CPR decode — latitude
 index resolution, NL zone lookup, zone agreement, longitude index — is
@@ -278,4 +280,155 @@ def surface_latlon_f64(dev, reflat, reflon, elat, elon, olat, olon, fflag):
     rlon = dlon * (mm + np.where(f, olon, elon) / 131072)
     rlon += np.floor((reflon - rlon + 45) / 90) * 90
     rlon -= np.floor((rlon + 180) / 360) * 360
+    return rlat, rlon
+
+
+# ---------------------------------------------------------------------------
+# Relative decode (cpr.c:331-386): single-frame decode against a known
+# reference position.  The zone index j = floor(ref/dzone) + floor(0.5 +
+# mod(ref,dzone)/dzone - cpr/131072) splits into a host integer J0 plus a
+# device floor-divide once the host folds the reference fraction into
+# B = floor(131072*(1 + 2*mod(ref,dzone)/dzone)):
+#     floor(0.5 + A - c/131072) = floor((B - 2c)/262144)
+# (exact because the numerator's fractional part can never push an
+# integer quotient over a boundary).  The longitude zone width depends on
+# the decoded NL, so the host consts become ni-indexed tables (ni<=59)
+# the device gathers from.  All four (surface, fflag) latitude scales
+# reuse the NL threshold tables above.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _relative_mode_consts() -> dict:
+    """reflat-independent per-(surface, fflag) integer constants:
+    270/360/90 degrees in K units (K = 131072*j + cpr, rlat = dlat*K/131072)
+    and the stacked NL threshold tables."""
+    t0, t1 = _nl_thresholds()
+    s0, s1 = _nl_thresholds_surface()
+    nlt = np.stack(
+        [np.stack([t0, t1]), np.stack([s0, s1])]
+    ).astype(np.int32)  # [surface, fflag, 59]
+    # dlat = (90 if s else 360)/(59 if f else 60); X deg <=> X/dlat*131072
+    hi270 = np.array(
+        [[45 * 131072, 59 * 131072 * 3 // 4], [180 * 131072, 3 * 59 * 131072]],
+        np.int32,
+    )
+    wrap360 = np.array(
+        [[60 * 131072, 59 * 131072], [240 * 131072, 4 * 59 * 131072]],
+        np.int32,
+    )
+    r90 = np.array(
+        [[15 * 131072, 59 * 131072 // 4], [60 * 131072, 59 * 131072]],
+        np.int32,
+    )
+    return {"nlt": nlt, "hi270": hi270, "wrap360": wrap360, "r90": r90}
+
+
+def relative_consts(reflat: float, reflon: float) -> dict:
+    """Host-side reference-position tables for decode_relative_core.
+
+    Latitude: per (surface, fflag).  Longitude: per (surface, ni) with
+    ni in 1..59 (index 0 unused).  j0/b encode the zone-index split, and
+    thi/tlo the |r - ref| > dzone/2 rejection (2K > floor(thi) or
+    2K < ceil(tlo), exact against integer 2K)."""
+    import math
+
+    def fmodp(a, b):
+        r = math.fmod(a, b)
+        return r + b if r < 0 else r
+
+    def tables(ref, dzones):
+        j0 = np.zeros(dzones.shape, np.int32)
+        b = np.zeros(dzones.shape, np.int32)
+        thi = np.zeros(dzones.shape, np.int32)
+        tlo = np.zeros(dzones.shape, np.int32)
+        for idx in np.ndindex(dzones.shape):
+            d = float(dzones[idx])
+            j0[idx] = math.floor(ref / d)
+            b[idx] = math.floor(131072.0 * (1.0 + 2.0 * fmodp(ref, d) / d))
+            thi[idx] = math.floor(131072.0 * (2.0 * ref / d + 1.0))
+            tlo[idx] = math.ceil(131072.0 * (2.0 * ref / d - 1.0))
+        return j0, b, thi, tlo
+
+    dlat = np.array([[6.0, 360.0 / 59.0], [1.5, 90.0 / 59.0]])
+    j0lat, blat, thilat, tlolat = tables(reflat, dlat)
+
+    ni = np.arange(60, dtype=np.float64)
+    ni[0] = 1.0  # unused slot
+    dlon = np.stack([360.0 / ni, 90.0 / ni])  # [surface, ni]
+    j0lon, blon, thilon, tlolon = tables(reflon, dlon)
+    return {
+        "j0lat": j0lat, "blat": blat, "thilat": thilat, "tlolat": tlolat,
+        "j0lon": j0lon, "blon": blon, "thilon": thilon, "tlolon": tlolon,
+    }
+
+
+def decode_relative_core(clat, clon, fflag, surface, c: dict):
+    """Traceable exact-int relative CPR core (cpr.c:331-386).
+
+    clat/clon int32 17-bit CPR fields; fflag/surface int per row; c the
+    relative_consts dict (device arrays ok).  Returns ok, j, ni, m —
+    degrees come from `relative_latlon_f64` (which replays the
+    reference's f64 expressions incl. the 270/180-degree wraps)."""
+    clat = clat.astype(jnp.int32)
+    clon = clon.astype(jnp.int32)
+    f = fflag.astype(jnp.int32)
+    s = surface.astype(jnp.int32)
+    mc = _relative_mode_consts()
+
+    def sel(tab):
+        return jnp.asarray(tab)[s, f]
+
+    j = sel(c["j0lat"]) + jnp.floor_divide(sel(c["blat"]) - 2 * clat, 262144)
+    k = 131072 * j + clat
+    kw = jnp.where(k >= sel(mc["hi270"]), k - sel(mc["wrap360"]), k)
+    ok = jnp.abs(kw) <= sel(mc["r90"])
+    ok &= (2 * kw <= sel(c["thilat"])) & (2 * kw >= sel(c["tlolat"]))
+
+    nlt = jnp.asarray(mc["nlt"])[s, f]  # (rows, 59)
+    nlv = 59 - jnp.sum(
+        (jnp.abs(kw)[..., None] >= nlt).astype(jnp.int32), axis=-1
+    )
+    ni = jnp.maximum(nlv - f, 1)
+
+    def sel_ni(tab):
+        return jnp.asarray(tab)[s, ni]
+
+    m = sel_ni(c["j0lon"]) + jnp.floor_divide(sel_ni(c["blon"]) - 2 * clon, 262144)
+    kl = 131072 * m + clon
+    # rlon > 180 <=> KL > 180*ni*131072/(90 or 360); wrap by 360 in KL units
+    wr_hi = jnp.where(s != 0, 262144 * ni, 65536 * ni)
+    wr_360 = jnp.where(s != 0, 524288 * ni, 131072 * ni)
+    klw = jnp.where(kl > wr_hi, kl - wr_360, kl)
+    ok &= (2 * klw <= sel_ni(c["thilon"])) & (2 * klw >= sel_ni(c["tlolon"]))
+    return {"ok": ok, "j": j, "ni": ni, "m": m}
+
+
+def make_decode_relative_device(reflat: float, reflon: float):
+    """Jitted relative decoder bound to one reference position."""
+    c = relative_consts(reflat, reflon)
+
+    @jax.jit
+    def run(clat, clon, fflag, surface):
+        return decode_relative_core(clat, clon, fflag, surface, c)
+
+    return run
+
+
+def relative_latlon_f64(dev, clat, clon, fflag, surface):
+    """Host f64 map for the relative decisions (cpr.c:351-385 formulas)."""
+    j = np.asarray(dev["j"]).astype(np.int64)
+    ni = np.asarray(dev["ni"]).astype(np.int64)
+    m = np.asarray(dev["m"]).astype(np.int64)
+    f = np.asarray(fflag).astype(np.int64)
+    s = np.asarray(surface).astype(bool)
+    clat = np.asarray(clat, np.float64)
+    clon = np.asarray(clon, np.float64)
+
+    dlat = np.where(s, 90.0, 360.0) / np.where(f != 0, 59.0, 60.0)
+    rlat = dlat * (j + clat / 131072)
+    rlat = np.where(rlat >= 270, rlat - 360, rlat)
+    dlon = np.where(s, 90.0, 360.0) / ni
+    rlon = dlon * (m + clon / 131072)
+    rlon = np.where(rlon > 180, rlon - 360, rlon)
     return rlat, rlon

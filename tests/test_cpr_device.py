@@ -133,3 +133,47 @@ def test_surface_fuzz_vs_scalar_chain():
             assert lon[i] == ref[1], (reflat, i, lon[i], ref[1])
             total_ok += 1
     assert total_ok > 3000
+
+
+# --------------------------- relative decode -------------------------------
+
+from readsb_tpu.ops.cpr_device import (  # noqa: E402
+    make_decode_relative_device,
+    relative_latlon_f64,
+)
+
+
+def test_relative_fuzz_vs_scalar_chain():
+    rng = np.random.default_rng(47)
+    n = 4000
+    refs = [(52.0, -1.0), (-33.9, 151.2), (0.0, 0.0), (61.2, -149.9),
+            (-54.8, -68.3), (35.6, 139.7), (78.2, 15.6)]
+    total_ok = 0
+    for reflat, reflon in refs:
+        run = make_decode_relative_device(reflat, reflon)
+        clat = rng.integers(0, 1 << 17, n).astype(np.int64)
+        clon = rng.integers(0, 1 << 17, n).astype(np.int64)
+        fflag = rng.integers(0, 2, n)
+        surface = rng.integers(0, 2, n)
+        dev = run(
+            np.asarray(clat, np.int32), np.asarray(clon, np.int32),
+            np.asarray(fflag, np.int32), np.asarray(surface, np.int32),
+        )
+        dev = {k: np.asarray(v) for k, v in dev.items()}
+        lat, lon = relative_latlon_f64(dev, clat, clon, fflag, surface)
+        ok = dev["ok"].astype(bool)
+        for i in range(n):
+            ref = cpr.decode_relative(
+                reflat, reflon, int(clat[i]), int(clon[i]),
+                int(fflag[i]), bool(surface[i]),
+            )
+            if ref is None:
+                assert not ok[i], (reflat, i)
+                continue
+            assert ok[i], (reflat, i)
+            assert lat[i] == ref[0], (reflat, i, lat[i], ref[0])
+            assert lon[i] == ref[1], (reflat, i, lon[i], ref[1])
+            total_ok += 1
+    # relative decodes accept anything within half a zone of the
+    # reference: the bulk of random CPR values decode
+    assert total_ok > 10000
