@@ -72,7 +72,12 @@ class App:
             if getattr(args, "device_arena", False):
                 from ..track.arena import Arena
 
-                self.arena = Arena()
+                # a fixed receiver location enables the on-device surface
+                # global decode (the reference chain always prefers it)
+                self.arena = Arena(
+                    receiver_lat=getattr(args, "lat", None),
+                    receiver_lon=getattr(args, "lon", None),
+                )
         elif getattr(args, "device_arena", False):
             log.warning("--device-arena needs the columnar drain; ignored")
         self.epoch_ms = int(time.time() * 1000)

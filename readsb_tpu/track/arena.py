@@ -26,9 +26,13 @@ field-specific accept rules run on-device:
     accept, else the tentative must have held unchanged for >750 ms
   - callsign + counters + seen
 
-v3 adds the CPR pair store and the GLOBAL AIRBORNE decode on device
+v3 adds the CPR pair store and the GLOBAL decode on device
 (ops/cpr_device.py: exact int32 lattice + NL thresholds inside the
-update scan); the host converts the integer decisions to f64 degrees
+update scan) — airborne always, surface when a fixed receiver location
+is configured (the track.c:759-777 reference chain then always picks
+it, and the quadrant compares precompute to integer thresholds); the
+host applies the surface 450 km reference-distance gate
+(track.c:784-792) and converts the integer decisions to f64 degrees
 with the reference's exact expressions and keeps the speed-check /
 acceptance chain (SURVEY build-plan step 6 staging).  tests/test_arena.py
 replays fuzzed streams (altitude excursions, squawk churn, CPR lattices)
@@ -186,8 +190,17 @@ def _scatter(base, slot, mask, vals, fill):
 
 
 @functools.partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0,))
-def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
-    """Apply one message batch: lax.scan over per-slot message ordinals."""
+def arena_update(
+    state: ArenaState, b: UpdateBatch, rounds: int, surf_q=(0, 0, 0, 0, 0)
+) -> ArenaState:
+    """Apply one message batch: lax.scan over per-slot message ordinals.
+
+    surf_q: (enabled, zneg, zpos, t0, t1) int scalars from
+    ops.cpr_device.surface_quadrant_consts — the fixed-receiver surface
+    reference (track.c:759-777 always picks the user location when one
+    is set, so a single-receiver arena decodes surface pairs on device
+    with exact host-chain semantics; enabled=0 leaves surface rows to
+    the host path)."""
     n = state.icao.shape[0]
     live = b.slot >= 0
     slot_all = jnp.where(live, b.slot, n)
@@ -361,7 +374,8 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
         c_src = jnp.where(sel & acc_p[:, None], p_src[:, None], c_src)
 
         # global eligibility (tracker._update_position): other parity
-        # fresh, close in time, same type; device decode = airborne only
+        # fresh, close in time, same type; airborne decodes always on
+        # device, surface only with a fixed receiver reference (surf_q)
         opar = (1 - par)[:, None]
         o_ts = jnp.take_along_axis(c_ts, opar, axis=1)[:, 0]
         o_src = jnp.take_along_axis(c_src, opar, axis=1)[:, 0]
@@ -373,25 +387,36 @@ def arena_update(state: ArenaState, b: UpdateBatch, rounds: int) -> ArenaState:
             & (u_ts < o_ts + TRACK_EXPIRE)
             & (jnp.abs(pt - o_ts) <= CPR_MAX_INTERVAL)
             & (o_surf == p_surf)
-            & ~p_surf
         )
-        from ..ops.cpr_device import decode_airborne_core
+        from ..ops.cpr_device import decode_airborne_core, decode_surface_core
 
+        surf_en, zneg, zpos, t0q, t1q = (jnp.int32(v) for v in surf_q)
         dec = decode_airborne_core(
             c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1], par
         )
-        dec_ok = glob & dec["ok"]
+        dsf = decode_surface_core(
+            c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1], par,
+            zneg, zpos, t0q, t1q,
+        )
+        dec_ok = glob & jnp.where(
+            p_surf, (surf_en != 0) & dsf["ok"], dec["ok"]
+        )
+        d_j = jnp.where(p_surf, dsf["j"], dec["j"])
+        d_nl = jnp.where(p_surf, dsf["nl"], dec["nl"])
+        d_ni = jnp.where(p_surf, dsf["ni"], dec["ni"])
+        d_m = jnp.where(p_surf, dsf["m"], dec["m"])
         # decoded NIC/Rc for a global fix: worse of the pair halves
         # (doGlobalCPR, track.c:753-756)
         d_nic = jnp.minimum(c_nic[:, 0], c_nic[:, 1])
         d_rc = jnp.maximum(c_rc[:, 0], c_rc[:, 1])
         ys = jnp.stack(
-            [dec_ok.astype(jnp.int32), dec["j"], dec["nl"], dec["ni"],
-             dec["m"], c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1],
+            [dec_ok.astype(jnp.int32), d_j, d_nl, d_ni,
+             d_m, c_lat[:, 0], c_lon[:, 0], c_lat[:, 1], c_lon[:, 1],
              d_nic,
-             jax.lax.bitcast_convert_type(d_rc, jnp.int32)],
+             jax.lax.bitcast_convert_type(d_rc, jnp.int32),
+             p_surf.astype(jnp.int32)],
             axis=1,
-        )  # (n, 11) per-round device decode record
+        )  # (n, 12) per-round device decode record
 
         return (fval, fts, fsrc, callsign, cs_ts, cs_src,
                 alt, alt_ts, alt_src, alt_rel, alt_set,
@@ -469,15 +494,32 @@ def arena_sweep(state: ArenaState, now_ms, ttl_ms) -> tuple[ArenaState, jax.Arra
 class Arena:
     """Host shell: slot assignment + batch building around the device state."""
 
-    def __init__(self, n: int = ARENA_SLOTS):
+    def __init__(
+        self,
+        n: int = ARENA_SLOTS,
+        receiver_lat: float | None = None,
+        receiver_lon: float | None = None,
+    ):
         self.n = n
         self.state = empty_arena(n)
         self.slot_of: dict[int, int] = {}
         self.free: list[int] = list(range(n - 1, -1, -1))
-        # device-decoded global airborne positions, appended per batch:
-        # (addr, ts_ms, fflag, lat, lon) — consumers (tests, the app's
-        # --device-arena path) drain this list
+        # device-decoded global positions, appended per batch:
+        # (addr, ts_ms, fflag, lat, lon, nic, rc) — consumers (tests, the
+        # app's --device-arena path) drain this list
         self.cpr_decodes: list[tuple] = []
+        # fixed surface reference: with a configured receiver location the
+        # reference chain (track.c:759-777) always picks it, so surface
+        # pairs decode on device too (ops/cpr_device.decode_surface_core)
+        self.receiver_lat = receiver_lat
+        self.receiver_lon = receiver_lon
+        if receiver_lat is not None:
+            from ..ops.cpr_device import surface_quadrant_consts
+
+            q = surface_quadrant_consts(receiver_lat)
+            self._surf_q = (1, q["zneg"], q["zpos"], q["t0"], q["t1"])
+        else:
+            self._surf_q = (0, 0, 0, 0, 0)
 
     def _slot(self, addr: int) -> int:
         s = self.slot_of.get(addr)
@@ -578,7 +620,7 @@ class Arena:
             cpr_lon=jnp.asarray(cpr_lon), cpr_nic=jnp.asarray(cpr_nic),
             cpr_rc=jnp.asarray(cpr_rc),
         )
-        self.state, cpr_ys = arena_update(self.state, batch, rounds)
+        self.state, cpr_ys = arena_update(self.state, batch, rounds, self._surf_q)
         recs = [
             (r, s, addr, mm) for (s, r, addr, mm) in rows
             if getattr(mm, "cpr_valid", False)
@@ -661,7 +703,7 @@ class Arena:
             cpr_rc=jnp.asarray(pad(
                 _RC_V0_B[cols["metype"], cols["nic_b"]], 0.0, np.float32)),
         )
-        self.state, cpr_ys = arena_update(self.state, batch, rounds)
+        self.state, cpr_ys = arena_update(self.state, batch, rounds, self._surf_q)
         cmask = np.asarray(cols["cpr_valid"], bool)
         if cmask.any():
             idx = np.nonzero(cmask)[0]
@@ -676,13 +718,16 @@ class Arena:
         """Convert the scan's per-round device decode records into f64
         positions for the per-message CPR rows (arrays rr=rank, ss=slot,
         addrs, tss=ms, ffs=odd flag), using the reference's exact float
-        map (ops.cpr_device.airborne_latlon_f64).  Appends
-        (addr, ts_ms, fflag, lat, lon) to self.cpr_decodes."""
-        from ..ops.cpr_device import airborne_latlon_f64
+        maps (ops.cpr_device airborne_latlon_f64 / surface_latlon_f64;
+        surface rows additionally pass the 450 km reference-distance
+        gate, track.c:784-792).  Appends
+        (addr, ts_ms, fflag, lat, lon, nic, rc) to self.cpr_decodes."""
+        from ..ops.cpr_device import airborne_latlon_f64, surface_latlon_f64
+        from .tracker import greatcircle
 
         if len(rr) == 0:
             return
-        rec = ys[rr, ss]  # (m, 11): ok, j, nl, ni, m, pairs, d_nic, d_rc
+        rec = ys[rr, ss]  # (m, 12): ok, j, nl, ni, m, pairs, d_nic, d_rc, surf
         ok = rec[:, 0] != 0
         if not ok.any():
             return
@@ -690,8 +735,21 @@ class Arena:
         lat, lon = airborne_latlon_f64(
             dev, rec[:, 5], rec[:, 6], rec[:, 7], rec[:, 8], ffs
         )
+        surf = rec[:, 11] != 0
+        if surf.any():
+            slat, slon = surface_latlon_f64(
+                dev, self.receiver_lat, self.receiver_lon,
+                rec[:, 5], rec[:, 6], rec[:, 7], rec[:, 8], ffs,
+            )
+            lat = np.where(surf, slat, lat)
+            lon = np.where(surf, slon, lon)
         rc = rec[:, 10].astype(np.int32).view(np.float32)
         for i in np.nonzero(ok)[0]:
+            if surf[i] and greatcircle(
+                self.receiver_lat, self.receiver_lon,
+                float(lat[i]), float(lon[i]),
+            ) > 450e3:
+                continue
             self.cpr_decodes.append(
                 (int(addrs[i]), int(tss[i]), bool(ffs[i]),
                  float(lat[i]), float(lon[i]),

@@ -216,3 +216,66 @@ def test_arena_device_cpr_matches_host_chain():
 
     assert len(host_decodes) > 100
     assert arena.cpr_decodes == host_decodes
+
+
+def test_arena_device_cpr_surface_matches_host_chain():
+    """With a fixed receiver location, the arena decodes SURFACE global
+    CPR on device too (exact-int core + host quadrant thresholds + the
+    450 km reference gate): every surface _do_global_cpr result of the
+    dict tracker must be reproduced bit for bit."""
+    from readsb_tpu.decode.cpr import encode_cpr
+    from readsb_tpu.decode.fields import CprType
+
+    rng = np.random.default_rng(53)
+    reflat, reflon = 47.0, 8.0
+    addrs = [0x3C0000 + i for i in range(10)]
+    base = {a: (reflat - 0.4 + 0.08 * i, reflon - 0.5 + 0.1 * i)
+            for i, a in enumerate(addrs)}
+    msgs = []
+    t = 7_000_000
+    for step in range(200):
+        t += int(rng.integers(80, 400))
+        addr = addrs[int(rng.integers(len(addrs)))]
+        lat0, lon0 = base[addr]
+        lat = lat0 + step * 4e-5
+        lon = lon0 + step * 2e-5
+        odd = step & 1
+        clat, clon = encode_cpr(lat, lon, odd, surface=True)
+        mm = ModesMessage(msgtype=17, addr=addr, source=Source.ADSB,
+                          sys_timestamp_ms=t)
+        mm.cpr_valid = True
+        mm.cpr_odd = bool(odd)
+        mm.cpr_type = CprType.SURFACE
+        mm.cpr_lat = clat
+        mm.cpr_lon = clon
+        mm.metype = 6
+        msgs.append(mm)
+
+    tracker = Tracker(receiver_lat=reflat, receiver_lon=reflon)
+    host_decodes = []
+    orig = tracker._do_global_cpr
+
+    def spy(a, mm):
+        out = orig(a, mm)
+        if out is not None:
+            host_decodes.append(
+                (a.addr, mm.sys_timestamp_ms, bool(mm.cpr_odd), out[0], out[1],
+                 min(a.cpr_even.nic, a.cpr_odd.nic),
+                 max(a.cpr_even.rc, a.cpr_odd.rc))
+            )
+        return out
+
+    tracker._do_global_cpr = spy
+    for mm in msgs:
+        tracker.update(mm)
+
+    arena = Arena(n=512, receiver_lat=reflat, receiver_lon=reflon)
+    i = 0
+    rng2 = np.random.default_rng(7)
+    while i < len(msgs):
+        j = min(len(msgs), i + int(rng2.integers(20, 90)))
+        arena.update_batch(msgs[i:j])
+        i = j
+
+    assert len(host_decodes) > 120
+    assert arena.cpr_decodes == host_decodes
