@@ -1085,8 +1085,6 @@ class App:
 
                 self.out_vrs.send(vrs_io.generate_vrs(self.tracker, now))
             self.tracker.remove_stale(now)
-            if self.arena is not None:
-                self.arena.sweep(now)
             if args.modeac_auto and not args.modeac:
                 # autoset_modeac (net_io.c:3577): demod A/C only while some
                 # beast client has requested it with the '1J' command
@@ -1210,6 +1208,11 @@ class App:
                 from ..io import state as state_io
 
                 state_io.save_state(self.tracker, args.write_state, now)
+            # arena maintenance LAST: its first call jit-compiles the
+            # device sweep, which must not delay the first tick's output
+            # files (short ifile runs would otherwise exit writerless)
+            if self.arena is not None:
+                self.arena.sweep(now)
 
     def _uuid_bytes(self) -> bytes:
         """16-byte receiver UUID (sendUUID, net_io.c:372)."""
@@ -1653,6 +1656,16 @@ class App:
                 history_io.write_traces(self.tracker, self.args.write_json,
                                         self.now_ms(), time_budget_s=None,
                                         hist_only=self.args.json_trace_hist_only)
+            if self.args.write_json:
+                # final aircraft.json so short runs / clean exits leave a
+                # current snapshot even if no periodic tick completed
+                os.makedirs(self.args.write_json, exist_ok=True)
+                doc = json_out.generate_aircraft_json(
+                    self.tracker, self.now_ms(), self.messages
+                )
+                json_out.write_json_atomic(
+                    doc, os.path.join(self.args.write_json, "aircraft.json")
+                )
             if self.args.write_state:
                 from ..io import state as state_io
 
