@@ -1691,6 +1691,29 @@ def _ensure_jax_backend() -> None:
         log.warning("accelerator backend unavailable; falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
+    # persistent compile cache: app restarts reuse compiled device
+    # programs (demod superblock, arena update/sweep) instead of paying
+    # cold XLA compiles — significant on remote-compile backends.
+    # Accelerators only: XLA:CPU AOT cache entries embed host feature
+    # tuning flags that fail the loader's feature check on reload.
+    # JAX_COMPILATION_CACHE_DIR wins; READSB_TPU_NO_JAX_CACHE=1 disables.
+    if (
+        jax.default_backend() != "cpu"
+        and not os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        and not os.environ.get("READSB_TPU_NO_JAX_CACHE")
+    ):
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "readsb-tpu", "jax",
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
 
 
 def snip_mode(level: int, fin=None, fout=None) -> None:

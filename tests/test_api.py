@@ -5,6 +5,7 @@ Queries run over the double-buffered snapshot (io/api.py ApiSnapshot);
 counts are cross-checked between query shapes and against aircraft.json.
 """
 
+import os
 import json
 import socket
 import subprocess
@@ -41,14 +42,17 @@ def api_app(tmp_path_factory):
          "--write-json", str(jdir), "--write-json-every", "0.3",
          "--lat", "47.5", "--lon", "8.5"],
         cwd=str(REPO), stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
-    # wait for listener + some tracked aircraft
-    deadline = time.time() + 60
+    # wait for listener + some tracked aircraft (cpu cold-start compiles
+    # can take ~40 s before the first sample block demodulates)
+    deadline = time.time() + 180
     while time.time() < deadline:
         try:
             body, _ = _get(port, "/?all_with_pos")
             if json.loads(body)["resultCount"] >= 3:
                 break
+            time.sleep(0.2)
         except OSError:
             time.sleep(0.2)
     yield {"port": port, "jdir": jdir}

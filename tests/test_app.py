@@ -69,7 +69,8 @@ def app_run(capture_small, tmp_path_factory):
         cwd=str(REPO),
         stdout=subprocess.PIPE,
         stderr=subprocess.PIPE,
-        env={**__import__("os").environ, "PYTHONPATH": str(REPO)},
+        env={**__import__("os").environ, "PYTHONPATH": str(REPO),
+             "JAX_PLATFORMS": "cpu"},  # hermetic: no accelerator attach
     )
 
     # wait for listeners
@@ -225,7 +226,7 @@ def test_devel_provoke_segfault():
         [sys.executable, "-m", "readsb_tpu.app.main",
          "--net-only", "--quiet", "--devel", "provokeSegfault"],
         cwd=str(REPO), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        env={**os.environ, "PYTHONPATH": str(REPO)},
+        env={**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu"},
     )
     deadline = time.time() + 30
     while time.time() < deadline and proc.poll() is None:

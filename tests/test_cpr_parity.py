@@ -9,6 +9,7 @@ decodes the reference refuses) is closed: _do_local_cpr now replicates
 track.c:843-966's gating including the max-range cell-ambiguity fold.
 """
 
+import os
 import re
 import subprocess
 import sys
@@ -57,6 +58,7 @@ def test_cpr_counters_match_reference(capture_pos):
          "--ifile", capture_pos, "--iformat", "uc8", "--quiet", "--stats",
          "--lat", "47.5", "--lon", "8.5"],
         capture_output=True, text=True, timeout=600, cwd=str(REPO),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     ).stderr
     m = re.search(r"CPR: (\d+) global ok, (\d+) global bad, (\d+) local ok", out)
     assert m, out[-1500:]
@@ -80,6 +82,7 @@ def _collect_positions(cmd, port, timeout_s=90, stdin_path=None):
 
     proc = subprocess.Popen(
         cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, cwd=str(REPO),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
         stdin=subprocess.PIPE if stdin_path else None,
     )
 

@@ -96,6 +96,7 @@ def test_onlyaddr_cli(tmp_path, capture_small):
          "--ifile", capture_small + ".uc8.dat", "--iformat", "uc8",
          "--quiet", "--raw", "--onlyaddr"],
         capture_output=True, text=True, timeout=600, cwd=str(REPO),
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     lines = [l.strip() for l in out.stdout.splitlines() if l.strip()]
     assert lines, out.stderr[-2000:]

@@ -91,6 +91,7 @@ def test_app_multichannel_ifile(tmp_path):
         [sys.executable, "-m", "readsb_tpu.app.main", "--device-type", "ifile",
          "--ifile", ",".join(paths), "--iformat", "uc8", "--quiet", "--raw"],
         capture_output=True, text=True, timeout=600, cwd=str(REPO),
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     got = sorted(
         l.strip().lstrip("*").rstrip(";")
