@@ -1710,7 +1710,12 @@ def _ensure_jax_backend() -> None:
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            # size floor keeps the big device programs and excludes the
+            # small host-side XLA:CPU AOT executables an accelerator run
+            # also compiles (those carry the feature-check hazard above)
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 131072
+            )
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         except Exception:
             pass
